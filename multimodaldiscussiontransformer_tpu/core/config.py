@@ -1,0 +1,293 @@
+"""Single dataclass-based config tree for the whole framework.
+
+Replaces the reference's three overlapping config systems (argparse
+`add_args` at mDT/src/models/multi_modal_discussion_transformer.py:33-158,
+FairseqDataclass/omegaconf at mDT/src/tasks/task.py:29-113, and raw
+`fairseq-train` CLI flags at
+mDT/experiments/hateful_discussions/run_train.sh:28-65) with one tree.
+
+Defaults reproduce the canonical published run
+(`bash run_train.sh 8 4 5 2 2 0`, sample_run.sh:3):
+8 fusion layers, 4 bottleneck tokens, spatial_pos_max 5, graph stack 2,
+fusion stack 2, d=768, 12 heads, FFN 768.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class BertTowerConfig:
+    """HF ``bert-base-uncased`` geometry (consumed by the reference at
+    mDT/src/modules/multigraphormer_graph_encoder.py:241-245)."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    pad_token_id: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class ViTTowerConfig:
+    """HF ``google/vit-base-patch16-224`` geometry (consumed by the reference
+    at mDT/src/modules/multigraphormer_graph_encoder.py:236-240)."""
+
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 3
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full mDT model geometry.
+
+    Field names follow the reference CLI arg surface
+    (multi_modal_discussion_transformer.py:33-158 and
+    multigraphormer_graph_encoder.py:43-77)."""
+
+    # graphormer featurizer vocab sizes (mDT/src/tasks/task.py:53-96)
+    num_atoms: int = 512 * 9
+    num_edges: int = 512 * 3
+    num_in_degree: int = 512
+    num_out_degree: int = 512
+    num_spatial: int = 512
+    num_edge_dis: int = 128
+    edge_type: str = "multi_hop"
+    multi_hop_max_dist: int = 5
+
+    # fusion / graph interleave (run_train.sh:47-54, sample_run.sh:3)
+    num_bottleneck_tokens: int = 4
+    num_fusion_layers: int = 8
+    num_fusion_stack: int = 2
+    num_graph_stack: int = 2
+
+    # transformer geometry (run_train.sh:47-54)
+    encoder_embed_dim: int = 768
+    encoder_ffn_embed_dim: int = 768
+    encoder_attention_heads: int = 12
+    encoder_layers: int = 4  # vestigial in reference too (overwritten at
+    # multigraphormer_graph_encoder.py:86)
+
+    # regularization (run_train.sh:37)
+    dropout: float = 0.4
+    attention_dropout: float = 0.3
+    act_dropout: float = 0.3
+
+    activation_fn: str = "gelu"
+    encoder_normalize_before: bool = True
+    pre_layernorm: bool = False
+    apply_graphormer_init: bool = False
+    freeze_initial_encoders: bool = True
+
+    # classifier head
+    num_classes: int = 2
+
+    # tower configs
+    text_tower: BertTowerConfig = field(default_factory=BertTowerConfig)
+    image_tower: ViTTowerConfig = field(default_factory=ViTTowerConfig)
+    text_encoder_name: str = "bert-base-uncased"
+    image_encoder_name: str = "google/vit-base-patch16-224"
+
+    # --- reference-quirk fidelity switches (SURVEY.md §7 "known quirks") ---
+    # The reference constructs len(fusion)+1 graph stacks but, due to the
+    # zip/[-1] interplay (multigraphormer_graph_encoder.py:413-446), the
+    # second-to-last stack is built yet never executed under canonical args.
+    # True  -> reproduce exactly (dead params + skipped stack)
+    # False -> run every constructed stack (the "fixed" behavior)
+    reproduce_dead_graph_stack: bool = True
+    # The reference adds the base attn_bias twice
+    # (graphormer_layers.py:93,108). Benign (-inf+-inf / 0+0) but part of the
+    # numerics contract; kept for exactness and documented here.
+    double_add_attn_bias: bool = True
+    # GraphFusionLayer(use_projection=True) creates 768x768 projections that
+    # forward never applies (multi_graphormer_fusion_layer.py:22-27). We
+    # create matching (vestigial) params when True for checkpoint parity.
+    create_vestigial_projections: bool = True
+
+    # compute policy (TPU-native replacement for the reference's --fp16)
+    dtype: str = "bfloat16"  # activation/compute dtype
+    param_dtype: str = "float32"
+    # use the Pallas fused biased-attention kernel for graph attention
+    use_pallas_attention: bool = False
+    # rematerialize fusion+graph blocks to trade FLOPs for HBM
+    remat: bool = True
+
+    @property
+    def num_fusion_stacks(self) -> int:
+        """Number of GraphFusionStack modules: ceil((F+1)/num_fusion_stack)
+        (multigraphormer_graph_encoder.py:145-158)."""
+        total = self.num_fusion_layers + 1
+        return -(-total // self.num_fusion_stack)
+
+    @property
+    def num_graph_stacks(self) -> int:
+        """len(fusion stacks) + 1 (multigraphormer_graph_encoder.py:173-191)."""
+        return self.num_fusion_stacks + 1
+
+    @property
+    def num_bottom_text_layers(self) -> int:
+        """BERT layers left in the bottom tower after splitting the top
+        ``num_fusion_layers+1`` into fusion stacks
+        (multigraphormer_graph_encoder.py:249-260)."""
+        return self.text_tower.num_hidden_layers - (self.num_fusion_layers + 1)
+
+    @property
+    def num_bottom_image_layers(self) -> int:
+        return self.image_tower.num_hidden_layers - (
+            self.num_fusion_layers + 1
+        )
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_model_config(**overrides) -> ModelConfig:
+    """A small config for tests: 2-layer towers, d=64, 2 fusion layers."""
+    text = BertTowerConfig(
+        vocab_size=128,
+        hidden_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=64,
+    )
+    image = ViTTowerConfig(
+        image_size=32,
+        patch_size=16,
+        hidden_size=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        intermediate_size=128,
+    )
+    cfg = ModelConfig(
+        num_in_degree=16,
+        num_out_degree=16,
+        num_spatial=64,
+        num_bottleneck_tokens=2,
+        num_fusion_layers=2,
+        num_fusion_stack=1,
+        num_graph_stack=1,
+        encoder_embed_dim=64,
+        encoder_ffn_embed_dim=64,
+        encoder_attention_heads=4,
+        dropout=0.0,
+        attention_dropout=0.0,
+        act_dropout=0.0,
+        text_tower=text,
+        image_tower=image,
+        dtype="float32",
+        remat=False,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """Mirrors the reference TaskConfig (mDT/src/tasks/task.py:29-113)."""
+
+    dataset_name: str = "hateful_discussions"
+    num_classes: int = 2
+    max_nodes: int = 10000
+    dataset_source: str = "pyg"
+    spatial_pos_max: int = 5  # run_train.sh:41 with sample_run.sh arg $3=5
+    seed: int = 1
+    train_epoch_shuffle: bool = True
+    user_data_dir: str = ""
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Static-shape bucketing policy — the TPU-native replacement for the
+    reference's per-batch max-node padding (collator.py:127)."""
+
+    batch_size: int = 12  # graphs per batch (run_train.sh:44)
+    max_text_len: int = 100  # hateful_discussions.py:165
+    # per-graph node-count buckets (graphs padded up to the nearest)
+    node_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
+    # total real-node capacity buckets for the flattened text tower
+    node_capacity_buckets: Tuple[int, ...] = (32, 64, 128, 256, 512, 1024)
+    # image-count capacity buckets for the ViT tower
+    image_capacity_buckets: Tuple[int, ...] = (0, 8, 16, 32, 64)
+    # labelled-node capacity buckets for the loss
+    label_capacity_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    drop_last: bool = True
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """The canonical recipe (run_train.sh:38-40,65)."""
+
+    lr: float = 3e-5
+    end_learning_rate: float = 3e-7
+    warmup_updates: int = 3246
+    total_num_update: int = 10820
+    adam_betas: Tuple[float, float] = (0.9, 0.999)
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.01
+    update_freq: int = 3  # gradient accumulation microsteps
+    clip_norm: float = 0.0
+    power: float = 1.0  # polynomial decay power
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    criterion: str = "node_cross_entropy"
+    task: str = "node_prediction"
+    arch: str = "multi_graphormer_base"
+    max_epoch: int = 37
+    validate_interval_updates: int = 300
+    save_dir: str = "checkpoints"
+    restore_file: Optional[str] = None
+    reset_optimizer: bool = False
+    seed: int = 1
+    log_interval: int = 50
+    # criterion hyperparams (run_train.sh:59-60)
+    positive_weight: float = 1.5
+    negative_weight: float = 1.0
+    # contrastive criterion (contrastive_loss.py:23-49)
+    soft_negative_weight: float = 0.0
+    adaptive_soft_negative_weight: bool = True
+    multiplication_scale: float = 20.0
+    # mesh geometry
+    dp_size: int = -1  # -1: all devices
+    tp_size: int = 1
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    task_cfg: TaskConfig = field(default_factory=TaskConfig)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

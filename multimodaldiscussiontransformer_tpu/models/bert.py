@@ -1,0 +1,207 @@
+"""BERT tower modules (Flax linen).
+
+TPU-native re-provision of the HF ``bert-base-uncased`` surface the reference
+consumes (mDT/src/modules/multigraphormer_graph_encoder.py:241-246: embeddings
++ bottom encoder layers as ``text_model``, pooler as ``text_pooler``, the
+sequence-classification dropout/classifier as ``text_dropout`` /
+``node_classifier``, and the top layers split off into fusion stacks).
+
+Module/param names mirror the HF PyTorch module tree (``query``, ``key``,
+``value``, ``attention_output_dense`` ≙ ``attention.output.dense``, …) so the
+checkpoint importer (utils/hf_import.py) is a mechanical path mapping.
+
+Numerics notes:
+- gelu is the exact (erf) variant, matching HF BERT's ``gelu`` activation.
+- additive attention masks: masked key columns get a large negative bias
+  before softmax; the reference uses ``torch.finfo(torch.half).min``
+  (multigraphormer_graph_encoder.py:348-354) — any sufficiently negative
+  value yields identical softmax output, we use a dtype-safe constant.
+- softmax statistics are accumulated in float32 regardless of the compute
+  dtype (the reference runs fp16 with fp32 softmax via fairseq
+  utils.softmax; we run bf16 with fp32 softmax).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodaldiscussiontransformer_tpu.core.config import BertTowerConfig
+
+Dtype = Any
+
+# Large negative bias for masked attention logits. Finite (not -inf) so that
+# fully-masked rows degrade to uniform attention instead of NaN, and safe in
+# bf16 (|min bf16| ~ 3.4e38; exp(-1e9) == 0 exactly after the f32 softmax).
+MASK_BIAS = -1e9
+
+
+def attention_mask_bias(attention_mask: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
+    """(…, S) {0,1} mask -> (…, 1, 1, S) additive bias.
+
+    Equivalent of HF ``get_extended_attention_mask`` and of the reference's
+    manual version at multigraphormer_graph_encoder.py:347-354."""
+    m = attention_mask[..., None, None, :].astype(jnp.float32)
+    return ((1.0 - m) * MASK_BIAS).astype(dtype)
+
+
+class SelfAttention(nn.Module):
+    """HF-style encoder self-attention (shared by BERT and ViT).
+
+    Equivalent to ``BertSelfAttention`` + ``BertSelfOutput``'s dense (the
+    residual+LN lives in the caller for ViT, inside for BERT — see users)."""
+
+    hidden_size: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        d, p = self.dtype, self.param_dtype
+        self.query = nn.Dense(self.hidden_size, use_bias=self.use_bias, dtype=d, param_dtype=p)
+        self.key = nn.Dense(self.hidden_size, use_bias=self.use_bias, dtype=d, param_dtype=p)
+        self.value = nn.Dense(self.hidden_size, use_bias=self.use_bias, dtype=d, param_dtype=p)
+        self.attn_dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(
+        self,
+        hidden: jnp.ndarray,  # (B, S, D)
+        attn_bias: Optional[jnp.ndarray] = None,  # broadcastable to (B, H, S, S)
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, s, _ = hidden.shape
+        h = self.num_heads
+        dh = self.hidden_size // h
+        q = self.query(hidden).reshape(b, s, h, dh)
+        k = self.key(hidden).reshape(b, s, h, dh)
+        v = self.value(hidden).reshape(b, s, h, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(hidden.dtype)
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(hidden.dtype)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return ctx.reshape(b, s, self.hidden_size)
+
+
+class BertLayer(nn.Module):
+    """One post-LN BERT encoder layer (HF ``BertLayer``): self-attention ->
+    dense+dropout+LN(residual) -> intermediate gelu -> dense+dropout+LN."""
+
+    config: BertTowerConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        c, d, p = self.config, self.dtype, self.param_dtype
+        self.attention = SelfAttention(
+            c.hidden_size, c.num_attention_heads, c.attention_probs_dropout_prob,
+            dtype=d, param_dtype=p,
+        )
+        self.attention_output_dense = nn.Dense(c.hidden_size, dtype=d, param_dtype=p)
+        self.attention_output_layernorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=d, param_dtype=p)
+        self.intermediate_dense = nn.Dense(c.intermediate_size, dtype=d, param_dtype=p)
+        self.output_dense = nn.Dense(c.hidden_size, dtype=d, param_dtype=p)
+        self.output_layernorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=d, param_dtype=p)
+        self.hidden_dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(
+        self,
+        hidden: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn = self.attention(hidden, attn_bias, deterministic)
+        attn = self.attention_output_dense(attn)
+        attn = self.hidden_dropout(attn, deterministic=deterministic)
+        hidden = self.attention_output_layernorm(attn + hidden)
+        inter = jax.nn.gelu(self.intermediate_dense(hidden), approximate=False)
+        out = self.output_dense(inter)
+        out = self.hidden_dropout(out, deterministic=deterministic)
+        return self.output_layernorm(out + hidden)
+
+
+class BertEmbeddings(nn.Module):
+    """HF ``BertEmbeddings``: word + position + token-type, LN, dropout."""
+
+    config: BertTowerConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        c, p = self.config, self.param_dtype
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size, param_dtype=p)
+        self.position_embeddings = nn.Embed(c.max_position_embeddings, c.hidden_size, param_dtype=p)
+        self.token_type_embeddings = nn.Embed(c.type_vocab_size, c.hidden_size, param_dtype=p)
+        self.layernorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=p)
+        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,  # (B, S) int
+        token_type_ids: jnp.ndarray,  # (B, S) int
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        s = input_ids.shape[-1]
+        positions = jnp.arange(s, dtype=jnp.int32)[None, :]
+        emb = (
+            self.word_embeddings(input_ids)
+            + self.position_embeddings(positions)
+            + self.token_type_embeddings(token_type_ids)
+        ).astype(self.dtype)
+        emb = self.layernorm(emb)
+        return self.dropout(emb, deterministic=deterministic)
+
+
+class BertPooler(nn.Module):
+    """HF ``BertPooler``: dense + tanh on token 0. Used both as the text
+    pooler and as the graph-path pooler in the output head (reference
+    node_encoder_stack, multi_modal_discussion_transformer.py:215-221)."""
+
+    hidden_size: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.dense = nn.Dense(self.hidden_size, dtype=self.dtype, param_dtype=self.param_dtype)
+
+    def __call__(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        return jnp.tanh(self.dense(hidden[:, 0]))
+
+
+class BertBottomTower(nn.Module):
+    """Embeddings + the bottom ``num_layers`` BERT encoder layers — the
+    reference's truncated ``text_model``
+    (multigraphormer_graph_encoder.py:257-260: top fusion layers are split
+    off; BERT applies no final layernorm so ``last_hidden_state`` is the raw
+    output of the last remaining layer)."""
+
+    config: BertTowerConfig
+    num_layers: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.embeddings = BertEmbeddings(self.config, self.dtype, self.param_dtype)
+        self.layer = [
+            BertLayer(self.config, self.dtype, self.param_dtype, name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        token_type_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        hidden = self.embeddings(input_ids, token_type_ids, deterministic)
+        bias = attention_mask_bias(attention_mask, hidden.dtype)
+        for lyr in self.layer:
+            hidden = lyr(hidden, bias, deterministic)
+        return hidden

@@ -1,0 +1,246 @@
+"""Graphormer-style graph transformer blocks (Flax linen).
+
+Re-implements the reference graph path — ``GraphNodeFeature`` /
+``GraphAttnBias`` (mDT/src/modules/graphormer_layers.py), the biased
+``MultiheadAttention`` (mDT/src/modules/multihead_attention.py) and the
+post-LN ``GraphormerGraphEncoderLayer`` / ``GraphEncoderStack``
+(mDT/src/modules/graphormer_graph_encoder_layer.py) — batch-first and
+TPU-shaped:
+
+- torch's ``padding_idx=0`` embeddings (rows pinned to zero) become masked
+  lookups: id 0 contributes an exact zero vector, which is how the +1-shifted
+  collator encodes padding;
+- softmax runs in float32 regardless of compute dtype (the reference relies
+  on fairseq ``utils.softmax`` doing the same under fp16);
+- the whole-bias assembly can be bypassed by the Pallas fused attention
+  kernel (ops/biased_attention.py) which consumes the compact
+  ``spatial_pos`` + template instead of the materialized (B,H,N+1,N+1) bias.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodaldiscussiontransformer_tpu.core.config import ModelConfig
+from multimodaldiscussiontransformer_tpu.models.bert import MASK_BIAS
+
+Dtype = Any
+
+
+def masked_embed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup with torch ``padding_idx=0`` semantics: id 0 maps to
+    an exact zero vector (graphormer_layers.py:29-33, 74-80)."""
+    out = jnp.take(table, ids, axis=0)
+    return jnp.where((ids == 0)[..., None], 0.0, out)
+
+
+class GraphNodeFeature(nn.Module):
+    """Node features: bottleneck states + in/out-degree embeddings, with a
+    learned graph token prepended (graphormer_layers.py:16-50)."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        c = self.config
+        d = c.encoder_embed_dim
+        init = nn.initializers.normal(0.02)
+        self.in_degree_encoder = self.param(
+            "in_degree_encoder", init, (c.num_in_degree, d), self.param_dtype
+        )
+        self.out_degree_encoder = self.param(
+            "out_degree_encoder", init, (c.num_out_degree, d), self.param_dtype
+        )
+        self.graph_token = self.param(
+            "graph_token", init, (1, d), self.param_dtype
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, N, D) node grid
+        in_degree: jnp.ndarray,  # (B, N) int, +1-shifted, 0 = pad
+        out_degree: jnp.ndarray,  # (B, N) int
+    ) -> jnp.ndarray:
+        feats = (
+            x
+            + masked_embed(self.in_degree_encoder.astype(self.dtype), in_degree)
+            + masked_embed(self.out_degree_encoder.astype(self.dtype), out_degree)
+        )
+        b = x.shape[0]
+        tok = jnp.broadcast_to(
+            self.graph_token.astype(self.dtype)[None], (b, 1, x.shape[-1])
+        )
+        return jnp.concatenate([tok, feats], axis=1)
+
+
+class GraphAttnBias(nn.Module):
+    """Per-head attention bias: spatial-bucket embeddings over node pairs plus
+    a learned virtual distance for the graph-token row/column
+    (graphormer_layers.py:53-110). Reproduces the reference's double addition
+    of the base template (line 108) when ``config.double_add_attn_bias``."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        c = self.config
+        h = c.encoder_attention_heads
+        init = nn.initializers.normal(0.02)
+        self.spatial_pos_encoder = self.param(
+            "spatial_pos_encoder", init, (c.num_spatial, h), self.param_dtype
+        )
+        self.graph_token_virtual_distance = self.param(
+            "graph_token_virtual_distance", init, (1, h), self.param_dtype
+        )
+
+    def __call__(
+        self,
+        attn_bias: jnp.ndarray,  # (B, N+1, N+1) template (0 / -inf)
+        spatial_pos: jnp.ndarray,  # (B, N, N) int, +1-shifted, 0 = pad
+    ) -> jnp.ndarray:
+        h = self.config.encoder_attention_heads
+        template = attn_bias.astype(self.dtype)[:, None]  # (B, 1, N+1, N+1)
+        g = jnp.broadcast_to(
+            template, (attn_bias.shape[0], h) + attn_bias.shape[1:]
+        )
+        # (B, N, N, H) -> (B, H, N, N)
+        sp = masked_embed(
+            self.spatial_pos_encoder.astype(self.dtype), spatial_pos
+        ).transpose(0, 3, 1, 2)
+        g = g.at[:, :, 1:, 1:].add(sp)
+        t = self.graph_token_virtual_distance.astype(self.dtype).reshape(1, h, 1)
+        g = g.at[:, :, 1:, 0].add(t)
+        g = g.at[:, :, 0, :].add(t)
+        if self.config.double_add_attn_bias:
+            g = g + template  # "reset" double-add (graphormer_layers.py:108)
+        return g
+
+
+class BiasedMultiheadAttention(nn.Module):
+    """Self-attention with additive per-head bias and key-padding masking
+    (multihead_attention.py:91-214), batch-first."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        c = self.config
+        d = c.encoder_embed_dim
+        # fairseq scaled xavier init for qkv (multihead_attention.py:75-89)
+        qkv_init = nn.initializers.xavier_uniform()
+        self.q_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.k_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.v_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.out_proj = nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype, param_dtype=self.param_dtype)
+        self.dropout = nn.Dropout(self.config.attention_dropout)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, S, D)
+        attn_bias: Optional[jnp.ndarray],  # (B, H, S, S)
+        key_padding_mask: Optional[jnp.ndarray],  # (B, S) bool, True = pad
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.config
+        b, s, d = x.shape
+        h = c.encoder_attention_heads
+        dh = d // h
+        scaling = dh ** -0.5
+        q = self.q_proj(x).reshape(b, s, h, dh) * jnp.asarray(scaling, x.dtype)
+        k = self.k_proj(x).reshape(b, s, h, dh)
+        v = self.v_proj(x).reshape(b, s, h, dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        if key_padding_mask is not None:
+            scores = jnp.where(
+                key_padding_mask[:, None, None, :], MASK_BIAS, scores
+            )
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        probs = self.dropout(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, d)
+        return self.out_proj(ctx)
+
+
+class GraphormerGraphEncoderLayer(nn.Module):
+    """Post-LN (default) / pre-LN transformer block with biased attention
+    (graphormer_graph_encoder_layer.py:103-142)."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        c = self.config
+        self.self_attn = BiasedMultiheadAttention(c, self.dtype, self.param_dtype)
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.fc1 = nn.Dense(c.encoder_ffn_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.fc2 = nn.Dense(c.encoder_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype)
+        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.dropout = nn.Dropout(c.dropout)
+        self.activation_dropout = nn.Dropout(c.act_dropout)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray],
+        key_padding_mask: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        pre = self.config.pre_layernorm
+        residual = x
+        if pre:
+            x = self.self_attn_layer_norm(x)
+        x = self.self_attn(x, attn_bias, key_padding_mask, deterministic)
+        x = self.dropout(x, deterministic=deterministic)
+        x = residual + x
+        if not pre:
+            x = self.self_attn_layer_norm(x)
+
+        residual = x
+        if pre:
+            x = self.final_layer_norm(x)
+        x = jax.nn.gelu(self.fc1(x), approximate=False)
+        x = self.activation_dropout(x, deterministic=deterministic)
+        x = self.fc2(x)
+        x = self.dropout(x, deterministic=deterministic)
+        x = residual + x
+        if not pre:
+            x = self.final_layer_norm(x)
+        return x
+
+
+class GraphEncoderStack(nn.Module):
+    """``num_layers`` chained graph encoder layers
+    (graphormer_graph_encoder_layer.py:145-195)."""
+
+    config: ModelConfig
+    num_layers: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self) -> None:
+        self.layers = [
+            GraphormerGraphEncoderLayer(
+                self.config, self.dtype, self.param_dtype, name=f"layer_{i}"
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        attn_bias: Optional[jnp.ndarray],
+        key_padding_mask: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        for lyr in self.layers:
+            x = lyr(x, attn_bias, key_padding_mask, deterministic)
+        return x

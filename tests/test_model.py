@@ -1,0 +1,172 @@
+"""Model-forward tests for the TPU-native mDT.
+
+The key property the static-capacity redesign must preserve: padded slots are
+inert. The same discussions collated into different bucket capacities must
+produce bit-near-identical real-node logits and global embeddings (oracle for
+the dynamic-shape semantics of the reference forward,
+mDT/src/modules/multigraphormer_graph_encoder.py:310-464).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multimodaldiscussiontransformer_tpu.core.config import tiny_model_config
+from multimodaldiscussiontransformer_tpu.data.collator import collate
+from multimodaldiscussiontransformer_tpu.data.synthetic import synthetic_batch_items
+from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
+
+IMG = (3, 32, 32)
+
+
+def make_batch(items, **kw):
+    defaults = dict(spatial_pos_max=5, image_shape=IMG)
+    defaults.update(kw)
+    return collate(items, **defaults)
+
+
+def to_jax(batch):
+    return {k: jnp.asarray(v) for k, v in batch.asdict().items()}
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_model_config()
+    model = MDTModel(cfg)
+    items = synthetic_batch_items(
+        2, seed=0, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8
+    )
+    batch = make_batch(items)
+    params = model.init(jax.random.PRNGKey(0), to_jax(batch), deterministic=True)
+    return cfg, model, params
+
+
+def test_forward_shapes(model_and_params):
+    cfg, model, params = model_and_params
+    items = synthetic_batch_items(
+        3, seed=1, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=10
+    )
+    batch = make_batch(items)
+    out = model.apply(params, to_jax(batch), deterministic=True)
+    assert out.logits.shape == (batch.node_capacity, cfg.num_classes)
+    assert out.global_embedding.shape == (3, cfg.encoder_embed_dim)
+    assert np.isfinite(np.asarray(out.logits)[batch.node_mask]).all()
+    assert np.isfinite(np.asarray(out.global_embedding)).all()
+
+
+def test_padding_invariance(model_and_params):
+    """Same items, different capacities -> same real-node outputs."""
+    _, model, params = model_and_params
+    items = synthetic_batch_items(
+        2, seed=2, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8,
+        image_prob=0.5,
+    )
+    small = make_batch(items)
+    big = make_batch(
+        items,
+        node_buckets=(32,),
+        node_capacity_buckets=(64,),
+        image_capacity_buckets=(16,),
+        label_capacity_buckets=(32,),
+    )
+    assert big.max_nodes > small.max_nodes
+    assert big.node_capacity > small.node_capacity
+
+    out_s = model.apply(params, to_jax(small), deterministic=True)
+    out_b = model.apply(params, to_jax(big), deterministic=True)
+
+    lg_s = np.asarray(out_s.logits)[small.node_mask]
+    lg_b = np.asarray(out_b.logits)[big.node_mask]
+    np.testing.assert_allclose(lg_s, lg_b, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_s.global_embedding),
+        np.asarray(out_b.global_embedding),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_no_image_batch(model_and_params):
+    """The all-text path (image capacity 0) must run and differ from the
+    image path only via the fusion average (ref fusion_layer.py:55-69)."""
+    _, model, params = model_and_params
+    items = synthetic_batch_items(
+        2, seed=3, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8,
+        image_prob=0.0,
+    )
+    batch = make_batch(items)
+    assert batch.images.shape[0] == 0
+    out = model.apply(params, to_jax(batch), deterministic=True)
+    assert np.isfinite(np.asarray(out.logits)[batch.node_mask]).all()
+
+
+def test_image_changes_image_node_only(model_and_params):
+    """Zeroing an image must change logits only at nodes reachable from the
+    image node through fusion/graph exchange -- minimally, it must change the
+    image-bearing node's logit and leave the text tower of other graphs'
+    nodes identical at layer 0... weaker check: outputs differ."""
+    _, model, params = model_and_params
+    items = synthetic_batch_items(
+        2, seed=4, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8,
+        image_prob=0.9,
+    )
+    batch = make_batch(items)
+    assert batch.images.shape[0] > 0
+    jb = to_jax(batch)
+    out1 = model.apply(params, jb, deterministic=True)
+    jb2 = dict(jb)
+    jb2["images"] = jb["images"] * 0.0
+    out2 = model.apply(params, jb2, deterministic=True)
+    assert not np.allclose(
+        np.asarray(out1.logits)[batch.node_mask],
+        np.asarray(out2.logits)[batch.node_mask],
+    )
+
+
+def test_dead_graph_stack_flag():
+    """reproduce_dead_graph_stack=False runs one extra stack -> different
+    outputs; True reproduces the reference's skipped stack
+    (multigraphormer_graph_encoder.py:413-446)."""
+    cfg = tiny_model_config(num_fusion_layers=2, num_fusion_stack=1)
+    # fusion stacks = 3, graph stacks = 4, zip runs 2, dead stack = idx 2
+    items = synthetic_batch_items(
+        2, seed=5, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8
+    )
+    batch = make_batch(items)
+    jb = to_jax(batch)
+
+    model_ref = MDTModel(cfg)
+    params = model_ref.init(jax.random.PRNGKey(0), jb, deterministic=True)
+    out_ref = model_ref.apply(params, jb, deterministic=True)
+
+    model_fix = MDTModel(cfg.replace(reproduce_dead_graph_stack=False))
+    # the fixed variant creates params for the extra stack; init it fresh
+    params_fix = model_fix.init(jax.random.PRNGKey(0), jb, deterministic=True)
+    out_fix = model_fix.apply(params_fix, jb, deterministic=True)
+
+    # the dead stack's params exist only in the fixed variant
+    n_ref = sum(x.size for x in jax.tree.leaves(params))
+    n_fix = sum(x.size for x in jax.tree.leaves(params_fix))
+    assert n_fix > n_ref
+    assert not np.allclose(
+        np.asarray(out_ref.global_embedding), np.asarray(out_fix.global_embedding)
+    )
+
+
+def test_dropout_rng_changes_output(model_and_params):
+    cfg, model, params = model_and_params
+    items = synthetic_batch_items(
+        2, seed=6, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8
+    )
+    cfg_dropout = tiny_model_config(dropout=0.2)
+    model_d = MDTModel(cfg_dropout)
+    batch = make_batch(items)
+    jb = to_jax(batch)
+    out1 = model_d.apply(
+        params, jb, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    out2 = model_d.apply(
+        params, jb, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert not np.allclose(np.asarray(out1.logits), np.asarray(out2.logits))

@@ -84,13 +84,14 @@ def _import_all() -> None:
         "multimodaldiscussiontransformer_tpu.tasks.node_prediction",
         "multimodaldiscussiontransformer_tpu.tasks.contrastive",
         "multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset",
+        "multimodaldiscussiontransformer_tpu.data.synthetic",
     ):
-        importlib.import_module(mod)
+        try:
+            importlib.import_module(mod)
+        except ValueError:
+            pass  # already registered
 
 
 def populate() -> None:
     """Idempotently populate all registries (safe to call repeatedly)."""
-    try:
-        _import_all()
-    except ValueError:
-        pass  # already registered
+    _import_all()

@@ -1,0 +1,117 @@
+"""Dataset wrappers: split management, epoch shuffling, batch iteration.
+
+Functional equivalents of the reference hierarchy (mDT/src/data/dataset.py:
+``GraphormerDataset`` -> ``BatchedDataDataset``/``NodeBatchedDataDataset``/
+``ContrastiveBatchedDataDataset`` -> ``EpochShuffleDataset``) and the split
+manager ``GraphormerPYGDataset`` (mDT/src/data/pyg_datasets/pyg_dataset.py):
+
+- three split modes: random 80/10/10, explicit subsets, explicit index
+  arrays with a seeded shuffle (pyg_dataset.py:29-63);
+- per-epoch seeded permutation matching ``EpochShuffleDataset.set_epoch``
+  (dataset.py:217-233: ``numpy_seed(seed + epoch - 1)`` permutation);
+- batches collated into static-capacity buffers via data/collator.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from multimodaldiscussiontransformer_tpu.core.config import DataConfig, TaskConfig
+from multimodaldiscussiontransformer_tpu.data.collator import Batch, collate
+from multimodaldiscussiontransformer_tpu.data.preprocess import GraphItem
+
+
+@dataclass
+class DiscussionDataset:
+    """An in-memory (or lazily-loading) set of preprocessed discussion graphs
+    with train/valid/test splits."""
+
+    items: Sequence  # GraphItem or callables returning GraphItem
+    train_idx: np.ndarray
+    valid_idx: np.ndarray
+    test_idx: np.ndarray
+
+    def get(self, i: int) -> GraphItem:
+        it = self.items[i]
+        return it() if callable(it) else it
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    @classmethod
+    def from_splits(
+        cls,
+        items: Sequence,
+        train_idx=None,
+        valid_idx=None,
+        test_idx=None,
+        seed: int = 0,
+        train_frac: float = 0.8,
+        valid_frac: float = 0.1,
+    ) -> "DiscussionDataset":
+        """Explicit index arrays (seeded-shuffled like pyg_dataset.py:52-63)
+        or a random 80/10/10 split (pyg_dataset.py:29-43)."""
+        n = len(items)
+        rng = np.random.RandomState(seed)
+        if train_idx is None:
+            perm = rng.permutation(n)
+            n_train = int(n * train_frac)
+            n_valid = int(n * valid_frac)
+            train_idx = perm[:n_train]
+            valid_idx = perm[n_train : n_train + n_valid]
+            test_idx = perm[n_train + n_valid :]
+        else:
+            train_idx = np.asarray(train_idx)
+            rng.shuffle(train_idx)
+            valid_idx = np.asarray(
+                valid_idx if valid_idx is not None else test_idx
+            )
+            test_idx = np.asarray(test_idx)
+        return cls(items, train_idx, valid_idx, test_idx)
+
+
+def epoch_permutation(n: int, seed: int, epoch: int) -> np.ndarray:
+    """EpochShuffleDataset order: ``numpy_seed(seed + epoch - 1)``
+    (dataset.py:224-226)."""
+    return np.random.RandomState((seed + epoch - 1) % (2**32)).permutation(n)
+
+
+def iterate_batches(
+    dataset: DiscussionDataset,
+    indices: np.ndarray,
+    data_cfg: DataConfig,
+    task_cfg: TaskConfig,
+    epoch: int = 1,
+    shuffle: bool = False,
+    contrastive: bool = False,
+    shard_multiple: int = 1,
+    image_shape=(3, 224, 224),
+    drop_last: Optional[bool] = None,
+) -> Iterator[Batch]:
+    """Yield collated static-shape batches for one epoch."""
+    order = np.asarray(indices)
+    if shuffle:
+        order = order[epoch_permutation(len(order), task_cfg.seed, epoch)]
+    bs = data_cfg.batch_size
+    drop = data_cfg.drop_last if drop_last is None else drop_last
+    n_full = len(order) // bs
+    end = n_full * bs if drop else len(order)
+    for s in range(0, end, bs):
+        chunk = order[s : s + bs]
+        if len(chunk) == 0:
+            continue
+        items = [dataset.get(int(i)) for i in chunk]
+        yield collate(
+            items,
+            spatial_pos_max=task_cfg.spatial_pos_max,
+            node_buckets=data_cfg.node_buckets,
+            node_capacity_buckets=data_cfg.node_capacity_buckets,
+            image_capacity_buckets=data_cfg.image_capacity_buckets,
+            label_capacity_buckets=data_cfg.label_capacity_buckets,
+            shard_multiple=shard_multiple,
+            contrastive=contrastive,
+            image_shape=image_shape,
+        )

@@ -101,6 +101,35 @@ def synthetic_item(
     )
 
 
+def synthetic_dataset(
+    num_graphs: int = 64,
+    seed: int = 0,
+    contrastive: bool = False,
+    **kw,
+):
+    """A registered synthetic dataset for smoke tests and benches
+    (plays the role of the reference's registered dataset factory,
+    experiments/hateful_discussions/datasets/dataset.py:7-28)."""
+    from multimodaldiscussiontransformer_tpu.data.dataset import (
+        DiscussionDataset,
+    )
+
+    items = synthetic_batch_items(
+        num_graphs, seed=seed, contrastive=contrastive, **kw
+    )
+    return DiscussionDataset.from_splits(items, seed=seed)
+
+
+def _register() -> None:
+    from multimodaldiscussiontransformer_tpu.core.registry import DATASETS
+
+    if "synthetic" not in DATASETS:
+        DATASETS.register("synthetic")(synthetic_dataset)
+
+
+_register()
+
+
 def synthetic_batch_items(
     batch_size: int,
     seed: int = 0,

@@ -1,0 +1,87 @@
+"""HatefulDiscussions registered dataset factory.
+
+Reference: ``create_hatespeech_dataset``
+(mDT/experiments/hateful_discussions/datasets/dataset.py:7-28): registers
+``hateful_discussions``, loading the processed per-graph tensors plus
+train/test index files (``$SLURM_TMPDIR/{train,test}-idx-many.txt``), with
+``valid_idx == test_idx``.
+
+This factory reads the .npz graphs produced by
+experiments/hateful_discussions/ingest.py (the TPU-native port of the
+one-time ``HatefulDiscussions.process()``,
+hateful_discussions.py:46-236). Graphs load lazily — items are callables so
+only the current batch's tensors are resident.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from multimodaldiscussiontransformer_tpu.core.registry import register_dataset
+from multimodaldiscussiontransformer_tpu.data.dataset import DiscussionDataset
+from multimodaldiscussiontransformer_tpu.data.preprocess import GraphItem
+
+
+def load_graph_npz(path: str) -> GraphItem:
+    """Load one processed graph saved by ingest.save_graph_npz."""
+    with np.load(path, allow_pickle=False) as z:
+        return GraphItem(
+            idx=int(z["idx"]),
+            input_ids=z["input_ids"],
+            token_type_ids=z["token_type_ids"],
+            attention_mask=z["attention_mask"],
+            spatial_pos=z["spatial_pos"],
+            distance=z["distance"],
+            in_degree=z["in_degree"],
+            x_images=z["x_images"],
+            x_image_index=z["x_image_index"],
+            y=z["y"],
+            y_mask=z["y_mask"] if "y_mask" in z else None,
+            hard_y=z["hard_y"] if "hard_y" in z else None,
+        )
+
+
+def _read_index_file(path: str) -> np.ndarray:
+    with open(path) as f:
+        return np.asarray([int(line) for line in f if line.strip()], dtype=np.int64)
+
+
+@register_dataset("hateful_discussions")
+def create_hatespeech_dataset(
+    root: Optional[str] = None,
+    split: int = 0,
+    seed: int = 1,
+) -> DiscussionDataset:
+    """Build the dataset from a processed root directory containing
+    ``graph-<k>.npz`` files and ``train-idx-many.txt`` / ``test-idx-many.txt``
+    index files (same layout as the reference's processed dir,
+    hateful_discussions.py:225-231; dataset.py:8-28)."""
+    root = root or os.environ.get(
+        "MDT_DATA_ROOT", os.environ.get("SLURM_TMPDIR", ".")
+    )
+    graph_dir = os.path.join(root, "processed")
+    if not os.path.isdir(graph_dir):
+        graph_dir = root
+    names = sorted(
+        (f for f in os.listdir(graph_dir) if f.startswith("graph-") and f.endswith(".npz")),
+        key=lambda s: int(s.split("-")[1].split(".")[0]),
+    )
+    paths = [os.path.join(graph_dir, f) for f in names]
+    items = [
+        (lambda p: (lambda: load_graph_npz(p)))(p) for p in paths
+    ]
+
+    train_file = os.path.join(root, "train-idx-many.txt")
+    test_file = os.path.join(root, "test-idx-many.txt")
+    if os.path.exists(train_file) and os.path.exists(test_file):
+        train_idx = _read_index_file(train_file)
+        test_idx = _read_index_file(test_file)
+        # valid == test, as in the reference (dataset.py:24-27)
+        return DiscussionDataset.from_splits(
+            items, train_idx=train_idx, valid_idx=test_idx, test_idx=test_idx,
+            seed=seed,
+        )
+    return DiscussionDataset.from_splits(items, seed=seed)

@@ -1,0 +1,127 @@
+"""Device mesh construction and sharding rules for the mDT model family."""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(
+    dp_size: int = -1,
+    tp_size: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A (dp, tp) mesh. ``dp_size=-1`` uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp_size == -1:
+        if n % tp_size:
+            raise ValueError(f"{n} devices not divisible by tp={tp_size}")
+        dp_size = n // tp_size
+    if dp_size * tp_size > n:
+        raise ValueError(
+            f"mesh {dp_size}x{tp_size} needs {dp_size * tp_size} devices, "
+            f"have {n}"
+        )
+    grid = np.asarray(devices[: dp_size * tp_size]).reshape(dp_size, tp_size)
+    return Mesh(grid, (DP_AXIS, TP_AXIS))
+
+
+# ---------------------------------------------------------------------------
+# Batch sharding: every Batch field is sharded on its leading (capacity)
+# dimension. Scalars and tiny per-batch vectors stay replicated.
+# ---------------------------------------------------------------------------
+
+_REPLICATED_FIELDS = frozenset({"nsamples"})
+
+
+def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding]:
+    specs = {}
+    dp = mesh.shape[DP_AXIS]
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if (
+            k in _REPLICATED_FIELDS
+            or arr.ndim == 0
+            or arr.shape[0] % dp != 0  # partial eval batches: replicate
+        ):
+            specs[k] = NamedSharding(mesh, P())
+        else:
+            specs[k] = NamedSharding(
+                mesh, P(DP_AXIS, *([None] * (arr.ndim - 1)))
+            )
+    return specs
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+    """Device-put a host batch with dp sharding on leading dims."""
+    specs = batch_sharding(mesh, batch)
+    return {k: jax.device_put(v, specs[k]) for k, v in batch.items()}
+
+
+# ---------------------------------------------------------------------------
+# Param sharding: regex path -> PartitionSpec. Column-parallel projections
+# shard the output feature dim on tp; row-parallel ones shard the input dim,
+# and XLA inserts the all-reduce after them. Everything else is replicated.
+# ---------------------------------------------------------------------------
+
+# (pattern, spec for kernel, spec for bias)
+_TP_RULES = (
+    # column-parallel: qkv and FFN-in — shard output features
+    (re.compile(r"(query|key|value|q_proj|k_proj|v_proj|intermediate_dense|fc1)/(kernel|bias)$"),
+     {"kernel": P(None, TP_AXIS), "bias": P(TP_AXIS)}),
+    # row-parallel: attention output and FFN-out — shard input features
+    (re.compile(r"(attention_output_dense|out_proj|output_dense|fc2)/kernel$"),
+     {"kernel": P(TP_AXIS, None), "bias": P()}),
+)
+
+
+def _spec_for_path(path: str) -> P:
+    leaf = path.rsplit("/", 1)[-1]
+    for pat, by_leaf in _TP_RULES:
+        if pat.search(path):
+            return by_leaf.get(leaf, P())
+    return P()
+
+
+def param_sharding(mesh: Mesh, params: Any) -> Any:
+    """PyTree of NamedShardings matching ``params``."""
+
+    def path_str(path) -> str:
+        parts = []
+        for p in path:
+            if hasattr(p, "key"):
+                parts.append(str(p.key))
+            elif hasattr(p, "name"):
+                parts.append(str(p.name))
+            else:
+                parts.append(str(p))
+        return "/".join(parts)
+
+    def spec(path, leaf) -> NamedSharding:
+        if mesh.shape[TP_AXIS] == 1:
+            return NamedSharding(mesh, P())
+        s = _spec_for_path(path_str(path))
+        # drop specs that don't divide evenly (tiny test configs)
+        if any(
+            ax is not None
+            and leaf.shape[i] % mesh.shape[ax] != 0
+            for i, ax in enumerate(s)
+        ):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Device-put a param pytree with tp sharding rules applied."""
+    shardings = param_sharding(mesh, params)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,72 @@
+"""Metric aggregation with the reference's summable-logging contract.
+
+FairSeq sums per-worker ``logging_outputs`` across data-parallel workers and
+across the logging interval before ``reduce_metrics`` computes derived
+metrics (hatespeech_loss.py:133-182). Under SPMD jit the per-batch logging
+outputs are already global sums (XLA reduces across shards), so the host
+aggregator only sums across steps and applies the same reduction math.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+
+class MetricAccumulator:
+    """Sums logging outputs across steps; reduces on demand."""
+
+    def __init__(self, reduce_fn: Callable[[Dict[str, Any]], Dict[str, float]]):
+        self._reduce_fn = reduce_fn
+        self._sums: Dict[str, float] = {}
+        self._n_steps = 0
+
+    def update(self, logging_output: Dict[str, Any]) -> None:
+        for k, v in logging_output.items():
+            self._sums[k] = self._sums.get(k, 0.0) + float(np.asarray(v))
+        self._n_steps += 1
+
+    def reduce(self) -> Dict[str, float]:
+        if not self._sums:
+            return {}
+        out = self._reduce_fn(self._sums)
+        out["num_updates"] = self._n_steps
+        return out
+
+    def reset(self) -> None:
+        self._sums = {}
+        self._n_steps = 0
+
+
+class MetricsWriter:
+    """Host-side metrics sink: JSONL always; W&B when available and
+    configured (replacement for the reference's --wandb-project,
+    run_train.sh:17-19,56)."""
+
+    def __init__(self, save_dir: str, wandb_project: Optional[str] = None, config: Optional[dict] = None):
+        import os
+
+        os.makedirs(save_dir, exist_ok=True)
+        self._path = os.path.join(save_dir, "metrics.jsonl")
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb  # noqa: F401
+
+                self._wandb = wandb.init(project=wandb_project, config=config or {})
+            except Exception:
+                self._wandb = None
+
+    def write(self, split: str, step: int, metrics: Dict[str, float]) -> None:
+        import json
+
+        rec = {"split": split, "step": step, **metrics}
+        with open(self._path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log({f"{split}/{k}": v for k, v in metrics.items()}, step=step)
+
+    def close(self) -> None:
+        if self._wandb is not None:
+            self._wandb.finish()

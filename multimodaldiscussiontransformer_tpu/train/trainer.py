@@ -1,0 +1,268 @@
+"""Jit-compiled train/eval steps over a device mesh + the epoch loop.
+
+Replaces the FairSeq trainer surface the reference rides
+(fairseq_cli.train, SURVEY.md §3.1): epoch iteration with per-epoch seeded
+shuffling, update-freq gradient accumulation, validate-interval-updates
+validation, checkpoint save/restore, and summed-logging metric reduction.
+
+TPU specifics:
+- ONE jit program per distinct batch shape signature (the bucketed collator
+  keeps the signature set small); params/opt-state sharded by
+  parallel.mesh rules, batch sharded on dp, XLA inserts all collectives;
+- gradients are normalized by the criterion's ``sample_size`` (FairSeq
+  semantics: summed loss, grads divided by sample size);
+- donated state buffers — the train step updates params in place in HBM.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from flax.core import FrozenDict
+
+from multimodaldiscussiontransformer_tpu.core.config import TrainConfig
+from multimodaldiscussiontransformer_tpu.core.registry import CRITERIONS
+from multimodaldiscussiontransformer_tpu.data.dataset import (
+    DiscussionDataset,
+    iterate_batches,
+)
+from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
+from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+from multimodaldiscussiontransformer_tpu.train.metrics import (
+    MetricAccumulator,
+    MetricsWriter,
+)
+from multimodaldiscussiontransformer_tpu.train.optimizer import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+class Trainer:
+    """End-to-end training driver for one task/criterion pair."""
+
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        model: Optional[MDTModel] = None,
+        criterion: Optional[Callable] = None,
+        mesh=None,
+        image_shape=(3, 224, 224),
+    ):
+        self.cfg = cfg
+        self.model = model or MDTModel(
+            cfg.model,
+            dtype=jnp.dtype(cfg.model.dtype),
+            param_dtype=jnp.dtype(cfg.model.param_dtype),
+        )
+        self.criterion = criterion or self._build_criterion()
+        self.mesh = mesh or make_mesh(cfg.dp_size, cfg.tp_size)
+        self.image_shape = image_shape
+        self.tx = None  # built at init_state (needs params for freeze mask)
+        self._train_step = None
+        self._eval_step = None
+        self.contrastive = cfg.task == "contrastive_learning"
+
+    # -- construction -----------------------------------------------------
+
+    def _build_criterion(self):
+        from multimodaldiscussiontransformer_tpu.core import registry
+
+        registry.populate()
+        cls = CRITERIONS.get(self.cfg.criterion)
+        if self.cfg.criterion == "node_cross_entropy":
+            return cls(
+                positive_weight=self.cfg.positive_weight,
+                negative_weight=self.cfg.negative_weight,
+            )
+        if self.cfg.criterion == "contrastive_loss":
+            return cls(
+                soft_negative_weight=self.cfg.soft_negative_weight,
+                adaptive_soft_negative_weight=self.cfg.adaptive_soft_negative_weight,
+                multiplication_scale=self.cfg.multiplication_scale,
+            )
+        return cls()
+
+    def init_state(self, sample_batch: Dict[str, np.ndarray], seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(rng)
+        jb = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+        params = self.model.init(init_rng, jb, deterministic=True)
+        params = shard_params(self.mesh, params)
+        self.tx = make_optimizer(
+            self.cfg.optim,
+            params,
+            freeze_initial_encoders=self.cfg.model.freeze_initial_encoders,
+        )
+        opt_state = self.tx.init(params)
+        return TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            rng=state_rng,
+        )
+
+    def load_params(self, state: TrainState, params: Any) -> TrainState:
+        """Swap in externally-built params (HF import / checkpoint restore);
+        re-inits optimizer state (the --reset-optimizer path, run_train.sh:63)."""
+        params = shard_params(self.mesh, params)
+        self.tx = make_optimizer(
+            self.cfg.optim,
+            params,
+            freeze_initial_encoders=self.cfg.model.freeze_initial_encoders,
+        )
+        return state.replace(params=params, opt_state=self.tx.init(params))
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _make_train_step(self):
+        model, criterion, tx = self.model, self.criterion, self.tx
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            rng, step_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                out = model.apply(
+                    params, batch, deterministic=False,
+                    rngs={"dropout": step_rng},
+                )
+                loss, sample_size, logs = criterion(out, batch)
+                denom = jnp.maximum(sample_size.astype(jnp.float32), 1.0)
+                return loss / denom, logs
+
+            (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            )
+            logs["gnorm"] = jax.lax.stop_gradient(
+                jnp.sqrt(
+                    sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+                )
+            )
+            return new_state, logs
+
+        return train_step
+
+    def _make_eval_step(self):
+        model, criterion = self.model, self.criterion
+
+        @jax.jit
+        def eval_step(params, batch) -> Dict[str, jax.Array]:
+            out = model.apply(params, batch, deterministic=True)
+            _, _, logs = criterion(out, batch)
+            return logs
+
+        return eval_step
+
+    # -- loops -------------------------------------------------------------
+
+    def train_batches(self, dataset: DiscussionDataset, epoch: int) -> Iterator:
+        return iterate_batches(
+            dataset, dataset.train_idx, self.cfg.data, self.cfg.task_cfg,
+            epoch=epoch, shuffle=self.cfg.task_cfg.train_epoch_shuffle,
+            contrastive=self.contrastive,
+            shard_multiple=self.mesh.shape["dp"],
+            image_shape=self.image_shape,
+        )
+
+    def eval_batches(self, dataset: DiscussionDataset, split: str = "valid") -> Iterator:
+        idx = dataset.valid_idx if split == "valid" else dataset.test_idx
+        return iterate_batches(
+            dataset, idx, self.cfg.data, self.cfg.task_cfg,
+            epoch=1, shuffle=False, contrastive=self.contrastive,
+            shard_multiple=self.mesh.shape["dp"],
+            image_shape=self.image_shape,
+            drop_last=False,
+        )
+
+    def evaluate(self, state: TrainState, dataset: DiscussionDataset, split: str = "valid") -> Dict[str, float]:
+        if self._eval_step is None:
+            self._eval_step = self._make_eval_step()
+        acc = MetricAccumulator(self.criterion.reduce_metrics)
+        with self.mesh:
+            for batch in self.eval_batches(dataset, split):
+                jb = shard_batch(self.mesh, batch.asdict())
+                acc.update(self._eval_step(state.params, jb))
+        return acc.reduce()
+
+    def fit(
+        self,
+        dataset: DiscussionDataset,
+        state: Optional[TrainState] = None,
+        max_epoch: Optional[int] = None,
+        max_updates: Optional[int] = None,
+        writer: Optional[MetricsWriter] = None,
+        checkpointer=None,
+        log_fn: Callable[[str], None] = print,
+    ) -> TrainState:
+        cfg = self.cfg
+        max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
+
+        if state is None:
+            first = next(iter(self.train_batches(dataset, epoch=1)))
+            state = self.init_state(first.asdict())
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+
+        acc = MetricAccumulator(self.criterion.reduce_metrics)
+        writer = writer or MetricsWriter(cfg.save_dir)
+        num_updates = int(state.step)
+        best_metric = None
+
+        with self.mesh:
+            for epoch in range(1, max_epoch + 1):
+                for batch in self.train_batches(dataset, epoch):
+                    jb = shard_batch(self.mesh, batch.asdict())
+                    state, logs = self._train_step(state, jb)
+                    acc.update(logs)
+                    num_updates += 1
+                    if num_updates % cfg.log_interval == 0:
+                        m = acc.reduce()
+                        acc.reset()
+                        writer.write("train", num_updates, m)
+                        log_fn(f"epoch {epoch} update {num_updates}: {m}")
+                    if (
+                        cfg.validate_interval_updates
+                        and num_updates % cfg.validate_interval_updates == 0
+                        and len(dataset.valid_idx) > 0
+                    ):
+                        vm = self.evaluate(state, dataset, "valid")
+                        writer.write("valid", num_updates, vm)
+                        log_fn(f"valid @ {num_updates}: {vm}")
+                        key = "f1" if "f1" in vm else "loss"
+                        better = (
+                            best_metric is None
+                            or (key == "f1" and vm[key] > best_metric)
+                            or (key == "loss" and vm[key] < best_metric)
+                        )
+                        if better:
+                            best_metric = vm[key]
+                            if checkpointer is not None:
+                                checkpointer.save(state, num_updates, best=True)
+                    if max_updates is not None and num_updates >= max_updates:
+                        if checkpointer is not None:
+                            checkpointer.save(state, num_updates)
+                        return state
+                if checkpointer is not None:
+                    checkpointer.save(state, num_updates)
+        return state

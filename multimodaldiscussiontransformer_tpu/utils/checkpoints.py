@@ -1,0 +1,121 @@
+"""Checkpointing: Orbax persistence + checkpoint transforms.
+
+Replaces the reference's FairSeq checkpoint surface (SURVEY.md §5):
+``--save-dir`` / ``--restore-file`` / ``--reset-optimizer``
+(run_train.sh:57-63), the state-dict surgery hooks
+(multi_modal_discussion_transformer.py:282-287 LM-head strip;
+multihead_attention.py:219-248 legacy qkv merge), and the
+contrastive -> node-prediction classifier reset *intent*
+(node_prediction.py:44-54, whose reference implementation is a no-op —
+SURVEY.md §2.1 quirk).
+
+Design: async Orbax checkpointing with retention, auto-resume-from-latest
+(the preemption-recovery story the reference lacks — its failure handling is
+a SLURM wall-clock kill + manual restart, run_train.sh:3,58).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def reset_classifier_head(params: Any, rng: jax.Array) -> Any:
+    """Fresh ``node_classifier`` Dense init (LeCun-normal kernel, zero bias)
+    — the intended transfer-time head reset (node_prediction.py:47-54)."""
+    import flax
+    import jax.numpy as jnp
+
+    params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+
+    def visit(tree):
+        for k, v in tree.items():
+            if k == "node_classifier" and isinstance(v, dict) and "kernel" in v:
+                kernel = v["kernel"]
+                init = flax.linen.initializers.lecun_normal()
+                v["kernel"] = init(rng, kernel.shape, kernel.dtype)
+                if "bias" in v:
+                    v["bias"] = jnp.zeros_like(v["bias"])
+            elif isinstance(v, dict):
+                visit(v)
+
+    visit(params["params"] if "params" in params else params)
+    return params
+
+
+class Checkpointer:
+    """Orbax-backed save/restore with keep-last-K retention and
+    best-checkpoint tracking (HF ``save_total_limit=3`` /
+    ``load_best_model_at_end`` analogue, Comment-Only text_bert.py:42-46)."""
+
+    def __init__(self, save_dir: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._ocp = ocp
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, create=True, enable_async_checkpointing=True
+        )
+        self.manager = ocp.CheckpointManager(self.save_dir, options=options)
+
+    def save(self, state, step: int, best: bool = False) -> None:
+        self.manager.save(
+            step, args=self._ocp.args.StandardSave(_host_state(state))
+        )
+        if best:
+            with open(os.path.join(self.save_dir, "best_step.txt"), "w") as f:
+                f.write(str(step))
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        path = os.path.join(self.save_dir, "best_step.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                return int(f.read().strip())
+        return self.latest_step()
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into the structure of ``state`` (auto-latest by default)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        target = jax.tree.map(np.asarray, _host_state(state))
+        restored = self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(target)
+        )
+        return restored
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def close(self) -> None:
+        self.manager.close()
+
+
+def _host_state(state) -> Any:
+    """Materialize a device pytree on host for serialization."""
+    return jax.tree.map(lambda x: np.asarray(x), jax.device_get(state))
+
+
+def restore_params_into_state(trainer, state, restored, reset_optimizer: bool):
+    """Apply a restored checkpoint: either full state (resume) or params-only
+    with fresh optimizer (the --reset-optimizer fine-tune path,
+    run_train.sh:63)."""
+    if restored is None:
+        return state
+    if reset_optimizer:
+        return trainer.load_params(state, restored["params"])
+    import jax.numpy as jnp
+
+    return state.replace(
+        step=jnp.asarray(restored["step"], jnp.int32),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        rng=jnp.asarray(restored["rng"]),
+    )

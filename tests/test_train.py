@@ -1,0 +1,160 @@
+"""End-to-end training tests on synthetic data over the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multimodaldiscussiontransformer_tpu.core.config import (
+    DataConfig,
+    OptimConfig,
+    TaskConfig,
+    TrainConfig,
+    tiny_model_config,
+)
+from multimodaldiscussiontransformer_tpu.data.synthetic import synthetic_dataset
+from multimodaldiscussiontransformer_tpu.parallel.mesh import make_mesh
+from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
+
+IMG = (3, 32, 32)
+SYN = dict(seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8)
+
+
+def tiny_train_cfg(**kw):
+    base = dict(
+        model=tiny_model_config(),
+        data=DataConfig(
+            batch_size=8,
+            max_text_len=16,
+            node_buckets=(8, 16),
+            node_capacity_buckets=(64, 128),
+            image_capacity_buckets=(0, 8, 16, 32),
+            label_capacity_buckets=(16, 32, 64),
+        ),
+        optim=OptimConfig(
+            lr=1e-3, warmup_updates=2, total_num_update=20, update_freq=1
+        ),
+        task_cfg=TaskConfig(dataset_name="synthetic", seed=0),
+        validate_interval_updates=0,
+        log_interval=100,
+        positive_weight=1.5,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_train_step_runs_and_loss_drops(tmp_path):
+    cfg = tiny_train_cfg(save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg, mesh=make_mesh(2, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=16, seed=0, **SYN)
+
+    batches = list(trainer.train_batches(ds, epoch=1))
+    assert batches, "expected at least one full batch"
+    state = trainer.init_state(batches[0].asdict())
+    step = trainer._make_train_step()
+
+    losses = []
+    with trainer.mesh:
+        for _ in range(6):
+            for b in batches:
+                from multimodaldiscussiontransformer_tpu.parallel.mesh import shard_batch
+
+                jb = shard_batch(trainer.mesh, b.asdict())
+                state, logs = step(state, jb)
+                losses.append(
+                    float(logs["loss"]) / max(float(logs["sample_size"]), 1)
+                )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not drop: {losses[0]} -> {losses[-1]}"
+    assert int(state.step) == len(losses)
+
+
+def test_fit_and_evaluate(tmp_path):
+    cfg = tiny_train_cfg(save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=24, seed=1, **SYN)
+    state = trainer.fit(ds, max_epoch=1)
+    metrics = trainer.evaluate(state, ds, "valid")
+    for key in ("loss", "accuracy", "recall", "precision", "f1"):
+        assert key in metrics
+        assert np.isfinite(metrics[key])
+
+
+def test_contrastive_training(tmp_path):
+    cfg = tiny_train_cfg(
+        save_dir=str(tmp_path / "ckpt"),
+        task="contrastive_learning",
+        criterion="contrastive_loss",
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(2, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=16, seed=2, contrastive=True, **SYN)
+    state = trainer.fit(ds, max_epoch=1)
+    assert int(state.step) > 0
+    metrics = trainer.evaluate(state, ds, "valid")
+    assert np.isfinite(metrics["loss"])
+
+
+def test_freeze_initial_encoders():
+    """Frozen bottom-tower params must not move; fusion/head params must."""
+    cfg = tiny_train_cfg()
+    assert cfg.model.freeze_initial_encoders
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=16, seed=3, **SYN)
+    batches = list(trainer.train_batches(ds, epoch=1))
+    state0 = trainer.init_state(batches[0].asdict())
+    p0 = jax.device_get(state0.params)
+    step = trainer._make_train_step()
+    with trainer.mesh:
+        from multimodaldiscussiontransformer_tpu.parallel.mesh import shard_batch
+
+        state1, _ = step(state0, shard_batch(trainer.mesh, batches[0].asdict()))
+    p1 = jax.device_get(state1.params)
+
+    frozen_same = []
+    trained_moved = []
+
+    def walk(a, b, path=""):
+        if isinstance(a, dict):
+            for k in a:
+                walk(a[k], b[k], path + "/" + k)
+        else:
+            same = np.allclose(a, b)
+            if "/text_model/" in path or "/vit_model/" in path:
+                frozen_same.append(same)
+            elif "node_classifier" in path:
+                trained_moved.append(not same)
+
+    walk(p0["params"], p1["params"])
+    assert frozen_same and all(frozen_same)
+    assert trained_moved and any(trained_moved)
+
+
+def test_tp_sharding_matches_dp_only():
+    """2-way tensor parallel must match the dp-only result (same params,
+    same batch -> same loss) within float tolerance."""
+    cfg = tiny_train_cfg()
+    ds = synthetic_dataset(num_graphs=16, seed=4, **SYN)
+
+    t_dp = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+    batches = list(t_dp.train_batches(ds, epoch=1))
+    state = t_dp.init_state(batches[0].asdict())
+    ev_dp = t_dp._make_eval_step()
+
+    t_tp = Trainer(cfg, mesh=make_mesh(2, 2), image_shape=IMG)
+    t_tp.tx = t_dp.tx
+    ev_tp = t_tp._make_eval_step()
+
+    from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+        shard_batch,
+        shard_params,
+    )
+
+    b = batches[0].asdict()
+    with t_dp.mesh:
+        logs_dp = ev_dp(state.params, shard_batch(t_dp.mesh, b))
+    params_tp = shard_params(t_tp.mesh, jax.device_get(state.params))
+    with t_tp.mesh:
+        logs_tp = ev_tp(params_tp, shard_batch(t_tp.mesh, b))
+    np.testing.assert_allclose(
+        float(logs_dp["loss"]), float(logs_tp["loss"]), rtol=2e-4
+    )

@@ -1,0 +1,299 @@
+"""Training CLI — flag-for-flag mirror of the reference ``fairseq-train``
+launch surface (mDT/experiments/hateful_discussions/run_train.sh:28-65).
+
+Example (the canonical run, ``bash run_train.sh 8 4 5 2 2 0``):
+
+    python -m multimodaldiscussiontransformer_tpu.train.launch \
+        --task node_prediction --criterion node_cross_entropy \
+        --arch multi_graphormer_base --dataset-name hateful_discussions \
+        --num-fusion-layers 8 --num-bottleneck-tokens 4 --spatial-pos-max 5 \
+        --num-graph-stack 2 --num-fusion-stack 2 --split 0 \
+        --lr 3e-5 --end-learning-rate 3e-7 --warmup-updates 3246 \
+        --total-num-update 10820 --batch-size 12 --update-freq 3 \
+        --max-epoch 37 --positive-weight 1.5 --freeze-initial-encoders \
+        --save-dir ckpts/run0
+
+Quick smoke run without the real dataset:
+
+    python -m multimodaldiscussiontransformer_tpu.train.launch --synthetic \
+        --max-updates 4 --batch-size 4 --tiny
+
+The reference's ``--fp16`` becomes ``--dtype bfloat16`` (the TPU-native
+mixed-precision policy); ``--restore-file`` + ``--reset-optimizer`` map to
+the Orbax restore path with the contrastive->node-prediction head-reset
+transform applied for task transfer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    # task / criterion / arch (run_train.sh:33-36)
+    p.add_argument("--task", default="node_prediction",
+                   choices=["node_prediction", "contrastive_learning"])
+    p.add_argument("--criterion", default="node_cross_entropy")
+    p.add_argument("--arch", default="multi_graphormer_base")
+    p.add_argument("--user-data-dir", default="")
+    p.add_argument("--dataset-name", default="hateful_discussions")
+    p.add_argument("--data-root", default=None,
+                   help="processed dataset root (MDT_DATA_ROOT)")
+    p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--split", type=int, default=0)
+    p.add_argument("--seed", type=int, default=1)
+    # model geometry (run_train.sh:47-54)
+    p.add_argument("--num-fusion-layers", type=int, default=8)
+    p.add_argument("--num-bottleneck-tokens", type=int, default=4)
+    p.add_argument("--num-graph-stack", type=int, default=2)
+    p.add_argument("--num-fusion-stack", type=int, default=2)
+    p.add_argument("--spatial-pos-max", type=int, default=5)
+    p.add_argument("--encoder-embed-dim", type=int, default=768)
+    p.add_argument("--encoder-ffn-embed-dim", type=int, default=768)
+    p.add_argument("--encoder-attention-heads", type=int, default=12)
+    p.add_argument("--encoder-layers", type=int, default=12)
+    # regularization (run_train.sh:37)
+    p.add_argument("--dropout", type=float, default=0.4)
+    p.add_argument("--attention-dropout", type=float, default=0.3)
+    p.add_argument("--act-dropout", type=float, default=0.3)
+    # optimization (run_train.sh:38-44,65)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--end-learning-rate", type=float, default=3e-7)
+    p.add_argument("--power", type=float, default=1.0)
+    p.add_argument("--warmup-updates", type=int, default=3246)
+    p.add_argument("--total-num-update", type=int, default=10820)
+    p.add_argument("--adam-eps", type=float, default=1e-8)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--clip-norm", type=float, default=0.0)
+    p.add_argument("--batch-size", type=int, default=12)
+    p.add_argument("--update-freq", type=int, default=3)
+    p.add_argument("--max-epoch", type=int, default=37)
+    p.add_argument("--max-updates", type=int, default=None)
+    # precision: the reference's --fp16 (run_train.sh:45)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    # criterion weights (run_train.sh:59-60)
+    p.add_argument("--positive-weight", type=float, default=1.5)
+    p.add_argument("--negative-weight", type=float, default=1.0)
+    p.add_argument("--soft-negative-weight", type=float, default=0.0)
+    p.add_argument("--multiplication-scale", type=float, default=20.0)
+    # freezing (run_train.sh:53)
+    p.add_argument("--freeze-initial-encoders", action="store_true", default=False)
+    # checkpointing (run_train.sh:57-63)
+    p.add_argument("--save-dir", default="checkpoints")
+    p.add_argument("--restore-file", default=None)
+    p.add_argument("--reset-optimizer", action="store_true", default=False)
+    p.add_argument("--validate-interval-updates", type=int, default=300)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--wandb-project", default=os.environ.get("WANDB_PROJECT"))
+    # mesh
+    p.add_argument("--dp-size", type=int, default=-1)
+    p.add_argument("--tp-size", type=int, default=1)
+    # HF initialization (the reference downloads pretrained towers at model
+    # build time, multigraphormer_graph_encoder.py:236-245)
+    p.add_argument("--hf-init", action="store_true", default=False)
+    p.add_argument("--text-encoder", default="bert-base-uncased")
+    p.add_argument("--image-encoder", default="google/vit-base-patch16-224")
+    # smoke-run conveniences
+    p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--tiny", action="store_true", default=False,
+                   help="tiny model geometry for smoke tests")
+    return p
+
+
+def config_from_args(args) -> "TrainConfig":
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        DataConfig,
+        ModelConfig,
+        OptimConfig,
+        TaskConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+
+    if args.tiny:
+        model = tiny_model_config(
+            freeze_initial_encoders=args.freeze_initial_encoders,
+            dtype="float32",
+        )
+    else:
+        model = ModelConfig(
+            num_bottleneck_tokens=args.num_bottleneck_tokens,
+            num_fusion_layers=args.num_fusion_layers,
+            num_fusion_stack=args.num_fusion_stack,
+            num_graph_stack=args.num_graph_stack,
+            encoder_embed_dim=args.encoder_embed_dim,
+            encoder_ffn_embed_dim=args.encoder_ffn_embed_dim,
+            encoder_attention_heads=args.encoder_attention_heads,
+            dropout=args.dropout,
+            attention_dropout=args.attention_dropout,
+            act_dropout=args.act_dropout,
+            freeze_initial_encoders=args.freeze_initial_encoders,
+            num_classes=args.num_classes if args.num_classes > 1 else 2,
+            dtype=args.dtype,
+            text_encoder_name=args.text_encoder,
+            image_encoder_name=args.image_encoder,
+        )
+    data = DataConfig(batch_size=args.batch_size)
+    if args.tiny:
+        data = DataConfig(
+            batch_size=args.batch_size,
+            max_text_len=16,
+            node_buckets=(8, 16),
+            node_capacity_buckets=(32, 64, 128),
+            image_capacity_buckets=(0, 8, 16),
+            label_capacity_buckets=(8, 16, 32, 64),
+        )
+    return TrainConfig(
+        criterion=args.criterion,
+        task=args.task,
+        arch=args.arch,
+        max_epoch=args.max_epoch,
+        validate_interval_updates=args.validate_interval_updates,
+        save_dir=args.save_dir,
+        restore_file=args.restore_file,
+        reset_optimizer=args.reset_optimizer,
+        seed=args.seed,
+        log_interval=args.log_interval,
+        positive_weight=args.positive_weight,
+        negative_weight=args.negative_weight,
+        soft_negative_weight=args.soft_negative_weight,
+        multiplication_scale=args.multiplication_scale,
+        dp_size=args.dp_size,
+        tp_size=args.tp_size,
+        optim=OptimConfig(
+            lr=args.lr,
+            end_learning_rate=args.end_learning_rate,
+            warmup_updates=args.warmup_updates,
+            total_num_update=args.total_num_update,
+            adam_eps=args.adam_eps,
+            weight_decay=args.weight_decay,
+            update_freq=args.update_freq,
+            clip_norm=args.clip_norm,
+            power=args.power,
+        ),
+        model=model,
+        data=data,
+        task_cfg=TaskConfig(
+            dataset_name="synthetic" if args.synthetic else args.dataset_name,
+            num_classes=args.num_classes,
+            spatial_pos_max=args.spatial_pos_max,
+            seed=args.seed,
+            user_data_dir=args.user_data_dir,
+        ),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from multimodaldiscussiontransformer_tpu.core import registry
+    from multimodaldiscussiontransformer_tpu.core.registry import TASKS
+    from multimodaldiscussiontransformer_tpu.train.metrics import MetricsWriter
+    from multimodaldiscussiontransformer_tpu.utils.checkpoints import (
+        Checkpointer,
+        restore_params_into_state,
+    )
+
+    registry.populate()
+    task = TASKS.get(cfg.task)(cfg)
+    cfg = task.cfg
+
+    if args.synthetic:
+        img = (3, 32, 32) if args.tiny else (3, 224, 224)
+        factory_kwargs = dict(
+            num_graphs=max(4 * cfg.data.batch_size, 32),
+            seed=cfg.seed,
+            contrastive=task.contrastive,
+            seq_len=cfg.data.max_text_len,
+            vocab_size=cfg.model.text_tower.vocab_size,
+            image_shape=img,
+            max_nodes=8 if args.tiny else 24,
+        )
+    else:
+        img = (3, cfg.model.image_tower.image_size, cfg.model.image_tower.image_size)
+        factory_kwargs = {}
+        if args.data_root:
+            factory_kwargs["root"] = args.data_root
+    dataset = task.load_dataset(**factory_kwargs)
+    print(
+        f"dataset: {len(dataset)} graphs "
+        f"(train {len(dataset.train_idx)} / valid {len(dataset.valid_idx)} "
+        f"/ test {len(dataset.test_idx)})"
+    )
+
+    trainer = task.build_trainer(image_shape=img)
+    first = next(iter(trainer.train_batches(dataset, epoch=1)))
+    state = trainer.init_state(first.asdict())
+
+    if args.hf_init and not args.tiny:
+        from multimodaldiscussiontransformer_tpu.utils import hf_import
+
+        bert_sd, vit_sd = hf_import.state_dicts_from_pretrained(
+            cfg.model.text_encoder_name,
+            cfg.model.image_encoder_name,
+            attention_dropout=cfg.model.attention_dropout,
+            hidden_dropout=cfg.model.act_dropout,
+        )
+        import jax
+
+        params = hf_import.import_towers(
+            jax.device_get(state.params), cfg.model, bert_sd, vit_sd
+        )
+        state = trainer.load_params(state, params)
+        print("initialized towers from HF checkpoints")
+
+    ckpt = Checkpointer(cfg.save_dir)
+    if cfg.restore_file:
+        restore_ckpt = Checkpointer(cfg.restore_file)
+        restored = restore_ckpt.restore(state)
+        if restored is not None:
+            if cfg.task == "node_prediction" and cfg.reset_optimizer:
+                # contrastive -> node-prediction transfer: head reset intent
+                from multimodaldiscussiontransformer_tpu.utils.checkpoints import _get
+
+                new_params = task.transfer_from_contrastive(
+                    _get(restored, "params"), seed=cfg.seed
+                )
+                restored = (
+                    {**restored, "params": new_params}
+                    if isinstance(restored, dict)
+                    else restored.replace(params=new_params)
+                )
+            state = restore_params_into_state(
+                trainer, state, restored, cfg.reset_optimizer
+            )
+            print(f"restored from {cfg.restore_file}")
+    elif ckpt.latest_step() is not None:
+        restored = ckpt.restore(state)
+        state = restore_params_into_state(trainer, state, restored, False)
+        print(f"auto-resumed from step {ckpt.latest_step()}")
+
+    writer = MetricsWriter(
+        cfg.save_dir, wandb_project=args.wandb_project,
+        config=dataclasses.asdict(cfg),
+    )
+    state = trainer.fit(
+        dataset,
+        state=state,
+        max_updates=args.max_updates,
+        writer=writer,
+        checkpointer=ckpt,
+    )
+    ckpt.wait()
+    if len(dataset.test_idx):
+        test_metrics = trainer.evaluate(state, dataset, "test")
+        writer.write("test", int(state.step), test_metrics)
+        print("test:", json.dumps(test_metrics))
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

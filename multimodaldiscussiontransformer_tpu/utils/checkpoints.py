@@ -103,6 +103,11 @@ def _host_state(state) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), jax.device_get(state))
 
 
+def _get(restored, key):
+    """Field access across restore container types (TrainState / dict)."""
+    return restored[key] if isinstance(restored, dict) else getattr(restored, key)
+
+
 def restore_params_into_state(trainer, state, restored, reset_optimizer: bool):
     """Apply a restored checkpoint: either full state (resume) or params-only
     with fresh optimizer (the --reset-optimizer fine-tune path,
@@ -110,12 +115,12 @@ def restore_params_into_state(trainer, state, restored, reset_optimizer: bool):
     if restored is None:
         return state
     if reset_optimizer:
-        return trainer.load_params(state, restored["params"])
+        return trainer.load_params(state, _get(restored, "params"))
     import jax.numpy as jnp
 
     return state.replace(
-        step=jnp.asarray(restored["step"], jnp.int32),
-        params=restored["params"],
-        opt_state=restored["opt_state"],
-        rng=jnp.asarray(restored["rng"]),
+        step=jnp.asarray(_get(restored, "step"), jnp.int32),
+        params=_get(restored, "params"),
+        opt_state=_get(restored, "opt_state"),
+        rng=jnp.asarray(_get(restored, "rng")),
     )

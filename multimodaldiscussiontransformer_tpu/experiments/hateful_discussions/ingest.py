@@ -1,0 +1,407 @@
+"""HatefulDiscussions one-time ingestion: raw JSON trees -> processed graphs.
+
+Port of ``HatefulDiscussions.process()``
+(mDT/experiments/hateful_discussions/datasets/hateful_discussions.py:46-236)
+with the per-tree O(n^2) Python recursion replaced by the native/vectorized
+tree-distance kernel (data/trees.py) and torch tensors replaced by .npz
+arrays sized for the static-bucket collator.
+
+Pipeline per JSON line (one discussion tree ``{data, tree:[...], id}``):
+1. collapse the nested tree to a flat id -> (data, images, label) map in DFS
+   preorder (ref ``collapse_tree``, lines 266-298, including the
+   "[deleted]"-body replacement rule and root-image inheritance);
+2. compute all-pairs (up, down) tree distances from parent pointers — exact
+   equivalent of ``get_relative_depth``/``spread_downwards`` (lines 242-264,
+   verified property-wise in tests/test_trees.py);
+3. clean text (markdown-link + URL regexes, lines 51-65), build
+   title+selftext/body strings (``extract_text``, lines 67-86), tokenize to
+   100 tokens;
+4. load + preprocess at most one image per node (224^2, ViT normalization);
+   nodes without images are represented by mask=False (the collator drops
+   the reference's zeros-placeholder convention, collator.py:144-148);
+5. binary label mapping — hate = {DEG, lti_hate, IdentityDirectedAbuse,
+   AffiliationDirectedAbuse}, normal = {Neutral, lti_normal, NDG, HOM}
+   (lines 185-191); one graph copy per labelled node with a single-label
+   y_mask (lines 196-232);
+6. save ``graph-<k>.npz`` + append to ``{train,test}-idx-many.txt``.
+
+Tokenizer/image-processor are pluggable: HF ``bert-base-uncased`` when the
+cache/network is available, offline fallbacks otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from multimodaldiscussiontransformer_tpu.data.preprocess import (
+    GraphItem,
+    preprocess_item,
+)
+from multimodaldiscussiontransformer_tpu.data.trees import tree_distance_pairs
+
+MARKDOWN_REGEX = re.compile(
+    r"^\[([\w\s\d]+)\]\(((?:\/|https?:\/\/)[\w\d./?=#]+)\)$"
+)
+ALL_URL_REGEX = re.compile(
+    r"https?:\/\/(?:www\.)?[-a-zA-Z0-9@:%._\+~#=]{1,256}\.[a-zA-Z0-9()]{1,6}"
+    r"\b(?:[-a-zA-Z0-9()@:%_\+.~#?&\/=]*)"
+)
+
+HATE_LABELS = ("DEG", "lti_hate", "IdentityDirectedAbuse", "AffiliationDirectedAbuse")
+GOOD_LABELS = ("Neutral", "lti_normal", "NDG", "HOM")
+
+# ViT image preprocessing constants (google/vit-base-patch16-224
+# preprocessor: resize 224, rescale 1/255, normalize mean=std=0.5)
+VIT_SIZE = 224
+VIT_MEAN = 0.5
+VIT_STD = 0.5
+
+
+def clean_urls(x: str) -> str:
+    """hateful_discussions.py:61-65."""
+    x = MARKDOWN_REGEX.sub(r"[LINK1] \g<1> [LINK2]", x)
+    return ALL_URL_REGEX.sub("", x)
+
+
+def extract_text(data: Dict) -> str:
+    """hateful_discussions.py:67-86: submissions use title+selftext/body,
+    comments use body."""
+    if "title" in data:
+        if "selftext" in data:
+            body = (
+                "\n" + clean_urls(data["selftext"])
+                if data["selftext"] != ""
+                else ""
+            )
+        else:
+            body = (
+                "\n" + clean_urls(data["body"]) if data.get("body") != "NA" else ""
+            )
+        return data["title"] + body
+    return clean_urls(data.get("body", ""))
+
+
+# ---------------------------------------------------------------------------
+# tokenizers / image processors (pluggable, offline-capable)
+# ---------------------------------------------------------------------------
+
+
+class HashTokenizer:
+    """Deterministic offline stand-in for the BERT tokenizer: whitespace
+    split + stable hashing into the BERT vocab range. Preserves the exact
+    output contract (input_ids / token_type_ids / attention_mask, CLS/SEP
+    conventions, max_length padding+truncation). NOT vocabulary-compatible
+    with bert-base-uncased — use only when the real tokenizer is
+    unavailable (tests, offline ingestion dry-runs)."""
+
+    cls_id, sep_id, pad_id = 101, 102, 0
+
+    def __init__(self, vocab_size: int = 30522):
+        self.vocab_size = vocab_size
+
+    def __call__(self, texts: Sequence[str], max_length: int = 100):
+        import hashlib
+
+        n = len(texts)
+        ids = np.zeros((n, max_length), np.int32)
+        mask = np.zeros((n, max_length), np.int32)
+        for i, t in enumerate(texts):
+            toks = [self.cls_id]
+            for w in t.lower().split():
+                h = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:4], "little"
+                )
+                toks.append(1000 + h % (self.vocab_size - 1100))
+                if len(toks) >= max_length - 1:
+                    break
+            toks.append(self.sep_id)
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return {
+            "input_ids": ids,
+            "token_type_ids": np.zeros_like(ids),
+            "attention_mask": mask,
+        }
+
+
+def make_tokenizer(name: str = "bert-base-uncased") -> Callable:
+    """HF tokenizer when available, hash fallback otherwise."""
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(name)
+
+        def call(texts, max_length=100):
+            out = tok(
+                list(texts),
+                padding="max_length",
+                truncation=True,
+                max_length=max_length,
+                return_tensors="np",
+            )
+            return {
+                "input_ids": out["input_ids"].astype(np.int32),
+                "token_type_ids": out.get(
+                    "token_type_ids", np.zeros_like(out["input_ids"])
+                ).astype(np.int32),
+                "attention_mask": out["attention_mask"].astype(np.int32),
+            }
+
+        return call
+    except Exception:
+        return HashTokenizer()
+
+
+def preprocess_image(path_or_array, size: int = VIT_SIZE) -> np.ndarray:
+    """(3, 224, 224) float32 pixel values with ViT normalization —
+    functional equivalent of ``ViTImageProcessor`` (hateful_discussions.py:
+    48-50,172-180): RGB convert, bilinear resize, rescale 1/255,
+    normalize mean/std 0.5."""
+    if isinstance(path_or_array, str):
+        from PIL import Image
+
+        img = Image.open(path_or_array).convert("RGB").resize(
+            (size, size), resample=2  # BILINEAR
+        )
+        arr = np.asarray(img, np.float32)
+    else:
+        arr = np.asarray(path_or_array, np.float32)
+        if arr.shape[:2] != (size, size):
+            from PIL import Image
+
+            arr = np.asarray(
+                Image.fromarray(arr.astype(np.uint8)).resize((size, size), resample=2),
+                np.float32,
+            )
+    arr = arr / 255.0
+    arr = (arr - VIT_MEAN) / VIT_STD
+    return arr.transpose(2, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# tree flattening
+# ---------------------------------------------------------------------------
+
+
+def collapse_tree(root: Dict) -> Tuple[List[str], Dict[str, Dict], np.ndarray]:
+    """Flatten the nested ``{data, tree, id}`` discussion into
+    (ordered ids, id -> node record, parent-pointer array).
+
+    Follows the reference rules (hateful_discussions.py:266-298): DFS
+    preorder; duplicate ids keep the first record unless the first body was
+    "[deleted]" and a later copy differs; nodes with no images inherit the
+    root's images."""
+    order: List[str] = []
+    records: Dict[str, Dict] = {}
+    parent_of: Dict[str, Optional[str]] = {}
+    root_images = root.get("images", [])
+
+    stack = [(root, None)]
+    # iterative DFS preorder matching the recursion order: push children
+    # reversed so the first child is visited first
+    while stack:
+        node, parent = stack.pop()
+        data = dict(node.get("data", {}))
+        data["id"] = node.get("id", data.get("id"))
+        nid = data["id"]
+        images = node.get("images", []) or root_images
+        label = data.get("label", "NA")
+        if nid in records:
+            if (
+                data.get("body") != records[nid]["data"].get("body")
+                and records[nid]["data"].get("body") == "[deleted]"
+            ):
+                records[nid] = {"data": data, "images": images, "label": label}
+        else:
+            order.append(nid)
+            records[nid] = {"data": data, "images": images, "label": label}
+            parent_of[nid] = parent
+        for child in reversed(node.get("tree", [])):
+            stack.append((child, nid))
+
+    index = {nid: i for i, nid in enumerate(order)}
+    parents = np.asarray(
+        [index[parent_of[nid]] if parent_of[nid] is not None else -1 for nid in order],
+        np.int64,
+    )
+    return order, records, parents
+
+
+def tree_to_items(
+    raw: Dict,
+    tokenizer: Callable,
+    image_root: str = "",
+    max_length: int = 100,
+    image_loader: Callable = preprocess_image,
+    start_idx: int = 0,
+) -> List[GraphItem]:
+    """One raw discussion -> one GraphItem per labelled node
+    (the per-label graph duplication of hateful_discussions.py:196-232)."""
+    order, records, parents = collapse_tree(raw)
+    n = len(order)
+    pairs = tree_distance_pairs(parents)
+    edges = [(int(p), i) for i, p in enumerate(parents) if p >= 0]
+    edge_index = (
+        np.asarray(edges + [(b, a) for a, b in edges], np.int64).T
+        if edges
+        else np.zeros((2, 0), np.int64)
+    )
+
+    texts = [extract_text(records[nid]["data"]) for nid in order]
+    tokens = tokenizer(texts, max_length=max_length)
+
+    has_image = np.zeros(n, bool)
+    imgs = []
+    for i, nid in enumerate(order):
+        paths = records[nid]["images"]
+        if paths:
+            try:
+                imgs.append(
+                    image_loader(
+                        os.path.join(image_root, paths[0]) if image_root else paths[0]
+                    )
+                )
+                has_image[i] = True
+            except Exception:
+                pass
+    x_images = (
+        np.stack(imgs).astype(np.float32)
+        if imgs
+        else np.zeros((0, 3, VIT_SIZE, VIT_SIZE), np.float32)
+    )
+
+    labels = [records[nid]["label"] for nid in order]
+    labelled = [
+        i for i, l in enumerate(labels) if l in HATE_LABELS or l in GOOD_LABELS
+    ]
+
+    items = []
+    for j, node_i in enumerate(labelled):
+        y_mask = np.zeros(n, bool)
+        y_mask[node_i] = True
+        y = np.asarray([1 if labels[node_i] in HATE_LABELS else 0], np.int64)
+        items.append(
+            preprocess_item(
+                idx=start_idx + j,
+                tokens=tokens,
+                edge_index=edge_index,
+                distance_pairs=pairs,
+                x_images=x_images,
+                x_image_index=has_image,
+                y=y,
+                y_mask=y_mask,
+            )
+        )
+    return items
+
+
+def save_graph_npz(path: str, item: GraphItem) -> None:
+    arrays = dict(
+        idx=np.asarray(item.idx),
+        input_ids=item.input_ids,
+        token_type_ids=item.token_type_ids,
+        attention_mask=item.attention_mask,
+        spatial_pos=item.spatial_pos,
+        distance=item.distance,
+        in_degree=item.in_degree,
+        x_images=item.x_images,
+        x_image_index=item.x_image_index,
+        y=item.y,
+    )
+    if item.y_mask is not None:
+        arrays["y_mask"] = item.y_mask
+    if item.hard_y is not None:
+        arrays["hard_y"] = item.hard_y
+    np.savez_compressed(path, **arrays)
+
+
+def process(
+    json_path: str,
+    out_root: str,
+    train_idx_file: Optional[str] = None,
+    test_idx_file: Optional[str] = None,
+    tokenizer_name: str = "bert-base-uncased",
+    image_root: str = "",
+    max_length: int = 100,
+    limit: Optional[int] = None,
+    log_every: int = 1000,
+) -> int:
+    """Full ingestion over ``pruned-with-images.json``; returns the number of
+    processed graph copies. Layout mirrors the reference
+    (graph-<k>.npz under <out_root>/processed + *-idx-many.txt index files,
+    hateful_discussions.py:88-106,225-231)."""
+    os.makedirs(os.path.join(out_root, "processed"), exist_ok=True)
+    tokenizer = make_tokenizer(tokenizer_name)
+
+    def read_idx(path):
+        if path and os.path.exists(path):
+            with open(path) as f:
+                return {int(line) for line in f if line.strip()}
+        return None
+
+    train_nums = read_idx(train_idx_file)
+    test_nums = read_idx(test_idx_file)
+
+    k = 0
+    with open(json_path) as f, open(
+        os.path.join(out_root, "train-idx-many.txt"), "w"
+    ) as train_out, open(
+        os.path.join(out_root, "test-idx-many.txt"), "w"
+    ) as test_out:
+        for graph_num, line in enumerate(f):
+            if limit is not None and graph_num >= limit:
+                break
+            if train_nums is not None and test_nums is not None:
+                if graph_num not in train_nums and graph_num not in test_nums:
+                    continue
+            raw = json.loads(line)
+            items = tree_to_items(
+                raw, tokenizer, image_root=image_root,
+                max_length=max_length, start_idx=k,
+            )
+            for item in items:
+                save_graph_npz(
+                    os.path.join(out_root, "processed", f"graph-{k}.npz"), item
+                )
+                if test_nums is not None and graph_num in test_nums:
+                    test_out.write(f"{k}\n")
+                else:
+                    train_out.write(f"{k}\n")
+                k += 1
+            if log_every and graph_num % log_every == 0:
+                print(f"graph {graph_num}: {k} copies written")
+    print(f"FINAL K {k}")
+    return k
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="HatefulDiscussions ingestion")
+    p.add_argument("json_path")
+    p.add_argument("out_root")
+    p.add_argument("--train-idx", default=None)
+    p.add_argument("--test-idx", default=None)
+    p.add_argument("--image-root", default="")
+    p.add_argument("--tokenizer", default="bert-base-uncased")
+    p.add_argument("--max-length", type=int, default=100)
+    p.add_argument("--limit", type=int, default=None)
+    args = p.parse_args(argv)
+    process(
+        args.json_path, args.out_root,
+        train_idx_file=args.train_idx, test_idx_file=args.test_idx,
+        tokenizer_name=args.tokenizer, image_root=args.image_root,
+        max_length=args.max_length, limit=args.limit,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -61,7 +61,9 @@ class GraphFusionLayer(nn.Module):
         bert_hidden_out = bert_out_full[:, nbn:]
         bn_out = bert_out_full[:, :nbn]
 
-        if vit_hidden is not None and vit_hidden.shape[0] > 0:
+        if vit_hidden is not None:
+            # zero-capacity image buffers flow through as zero-sized XLA ops,
+            # keeping ViT fusion params materialized in all-text batches
             # gather bottleneck rows for image-bearing nodes; padded slots
             # (image_node == C, out of range) gather zeros and are dropped on
             # the write-back below

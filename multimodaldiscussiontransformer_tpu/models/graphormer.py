@@ -153,9 +153,31 @@ class BiasedMultiheadAttention(nn.Module):
         h = c.encoder_attention_heads
         dh = d // h
         scaling = dh ** -0.5
-        q = self.q_proj(x).reshape(b, s, h, dh) * jnp.asarray(scaling, x.dtype)
+        q = self.q_proj(x).reshape(b, s, h, dh)
         k = self.k_proj(x).reshape(b, s, h, dh)
         v = self.v_proj(x).reshape(b, s, h, dh)
+
+        use_fused = (
+            c.use_pallas_attention
+            and (deterministic or c.attention_dropout == 0.0)
+        )
+        if use_fused:
+            # Pallas fused path: probabilities never materialize in HBM
+            from multimodaldiscussiontransformer_tpu.ops.biased_attention import (
+                biased_attention,
+            )
+
+            ctx = biased_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias=attn_bias,
+                key_padding_mask=key_padding_mask,
+                scale=scaling,
+            ).transpose(0, 2, 1, 3).reshape(b, s, d)
+            return self.out_proj(ctx)
+
+        q = q * jnp.asarray(scaling, x.dtype)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         if attn_bias is not None:
             scores = scores + attn_bias

@@ -127,11 +127,11 @@ class MultiGraphormerGraphEncoder(nn.Module):
         bert_out = self.text_model(
             input_ids, batch["token_type_ids"], batch["attention_mask"], deterministic
         )
-        has_images = batch["images"].shape[0] > 0
-        vit_out = (
-            self.vit_model(batch["images"], deterministic) if has_images else None
-        )
-        image_node = batch["image_node"] if has_images else None
+        # always run the image tower: a zero-capacity image buffer is a
+        # zero-sized XLA computation, keeps params materialized, and removes
+        # the reference's data-dependent branch (ref 332-337)
+        vit_out = self.vit_model(batch["images"], deterministic)
+        image_node = batch["image_node"]
 
         # ---- bottleneck init + extended fusion mask (ref 339-354) ----
         bn = jnp.broadcast_to(

@@ -103,7 +103,11 @@ class ViTEmbeddings(nn.Module):
         x = jnp.transpose(pixel_values, (0, 2, 3, 1)).astype(self.dtype)
         x = self.patch_embeddings(x)  # (B, H/ps, W/ps, D)
         b = x.shape[0]
-        x = x.reshape(b, -1, self.config.hidden_size)
+        # explicit patch count (not -1): zero-capacity image buffers are
+        # legal zero-sized arrays and -1 cannot infer against size 0
+        x = x.reshape(
+            b, x.shape[1] * x.shape[2], self.config.hidden_size
+        )
         cls = jnp.broadcast_to(
             self.cls_token.astype(self.dtype), (b, 1, self.config.hidden_size)
         )

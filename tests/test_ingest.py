@@ -1,0 +1,162 @@
+"""HatefulDiscussions ingestion tests against a synthetic raw-JSON fixture
+in the reference format (nested {data, tree, id} lines —
+hateful_discussions.py:107-232)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions import (
+    ingest,
+)
+
+
+def make_raw_tree():
+    """A 5-node discussion: submission + 4 comments, 3 labelled."""
+    return {
+        "id": "t3_root",
+        "data": {
+            "id": "t3_root",
+            "title": "A post title",
+            "selftext": "body with a link http://example.com/x?y=1 end",
+            "label": "Neutral",
+            "link_id": "t3_root",
+        },
+        "images": ["img0.png"],
+        "tree": [
+            {
+                "id": "c1",
+                "data": {
+                    "id": "c1",
+                    "body": "[some text](http://foo.bar/baz)",
+                    "label": "DEG",
+                    "parent_id": "t3_root",
+                    "link_id": "t3_root",
+                },
+                "images": [],
+                "tree": [
+                    {
+                        "id": "c3",
+                        "data": {
+                            "id": "c3",
+                            "body": "deep reply",
+                            "label": "NA",
+                            "parent_id": "c1",
+                            "link_id": "t3_root",
+                        },
+                        "images": [],
+                        "tree": [],
+                    }
+                ],
+            },
+            {
+                "id": "c2",
+                "data": {
+                    "id": "c2",
+                    "body": "another reply",
+                    "label": "lti_normal",
+                    "parent_id": "t3_root",
+                    "link_id": "t3_root",
+                },
+                "images": [],
+                "tree": [],
+            },
+        ],
+    }
+
+
+def test_clean_urls():
+    assert ingest.clean_urls("[some text](http://foo.bar/baz)") == (
+        "[LINK1] some text [LINK2]"
+    )
+    assert "http" not in ingest.clean_urls("go to https://a.com/b?c=d now")
+
+
+def test_extract_text():
+    raw = make_raw_tree()
+    root_text = ingest.extract_text(raw["data"])
+    assert root_text.startswith("A post title\n")
+    assert "http" not in root_text
+
+
+def test_collapse_tree_order_and_parents():
+    order, records, parents = ingest.collapse_tree(make_raw_tree())
+    # DFS preorder: root, c1, c3, c2
+    assert order == ["t3_root", "c1", "c3", "c2"]
+    assert parents.tolist() == [-1, 0, 1, 0]
+    # root images inherited by image-less children (ref 288-290)
+    assert records["c1"]["images"] == ["img0.png"]
+
+
+def test_tree_to_items_label_duplication(tmp_path):
+    from PIL import Image
+
+    img_path = tmp_path / "img0.png"
+    Image.new("RGB", (64, 48), color=(120, 30, 200)).save(img_path)
+    raw = make_raw_tree()
+    raw["images"] = [str(img_path)]
+
+    tok = ingest.HashTokenizer()
+    items = ingest.tree_to_items(raw, tok, max_length=32)
+    # 3 labelled nodes -> 3 graph copies (ref 196-232)
+    assert len(items) == 3
+    for it in items:
+        assert it.num_nodes == 4
+        assert it.y_mask.sum() == 1
+        assert it.input_ids.shape == (4, 32)
+        # every node inherits the root image (ref collapse rule)
+        assert it.x_image_index.all()
+        assert it.x_images.shape == (4, 3, 224, 224)
+    # label values: root Neutral -> 0, c1 DEG -> 1, c2 lti_normal -> 0
+    by_node = {int(np.flatnonzero(it.y_mask)[0]): int(it.y[0]) for it in items}
+    assert by_node == {0: 0, 1: 1, 3: 0}
+    # distances: c3 (idx 2) to c2 (idx 3): up 2 to root, down 1 -> sum 3
+    it = items[0]
+    assert it.distance[2, 3] == 3
+    assert it.distance[3, 2] == 3
+
+
+def test_process_end_to_end(tmp_path):
+    json_path = tmp_path / "pruned.json"
+    trees = []
+    for i in range(4):
+        t = make_raw_tree()
+        t["images"] = []
+        trees.append(t)
+    with open(json_path, "w") as f:
+        for t in trees:
+            f.write(json.dumps(t) + "\n")
+    (tmp_path / "train.txt").write_text("0\n1\n2\n")
+    (tmp_path / "test.txt").write_text("3\n")
+
+    out = tmp_path / "out"
+    k = ingest.process(
+        str(json_path), str(out),
+        train_idx_file=str(tmp_path / "train.txt"),
+        test_idx_file=str(tmp_path / "test.txt"),
+        tokenizer_name="__offline__",  # force hash fallback
+        max_length=32, log_every=0,
+    )
+    assert k == 12  # 4 trees x 3 labels
+    files = os.listdir(out / "processed")
+    assert len(files) == 12
+
+    # registered factory round-trip
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+        create_hatespeech_dataset,
+    )
+
+    ds = create_hatespeech_dataset(root=str(out))
+    assert len(ds) == 12
+    assert len(ds.train_idx) == 9
+    assert len(ds.test_idx) == 3
+    item = ds.get(0)
+    assert item.num_nodes == 4
+
+    # collate the loaded items
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+
+    batch = collate([ds.get(i) for i in range(4)], spatial_pos_max=5)
+    assert batch.node_mask.sum() == 16

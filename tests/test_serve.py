@@ -1,0 +1,70 @@
+"""Incremental-inference (re-scoring) API tests."""
+
+import numpy as np
+import jax
+
+from multimodaldiscussiontransformer_tpu.core.config import (
+    DataConfig,
+    tiny_model_config,
+)
+from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
+from multimodaldiscussiontransformer_tpu.serve.incremental import (
+    Discussion,
+    DiscussionScorer,
+)
+
+IMG = (3, 32, 32)
+
+
+def make_scorer():
+    import jax.numpy as jnp
+
+    cfg = tiny_model_config()
+    model = MDTModel(cfg)
+    d = Discussion()
+    d.add_node(-1, np.arange(1, 13, dtype=np.int32))
+    item = d.to_item()
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+
+    batch = collate([item], spatial_pos_max=5, image_shape=IMG)
+    jb = {k: jnp.asarray(v) for k, v in batch.asdict().items()}
+    params = model.init(jax.random.PRNGKey(0), jb, deterministic=True)
+    data_cfg = DataConfig(
+        batch_size=1,
+        node_buckets=(8, 16),
+        node_capacity_buckets=(8, 16, 32),
+        image_capacity_buckets=(0, 4),
+        label_capacity_buckets=(8,),
+    )
+    return DiscussionScorer(model, params, data_cfg, image_shape=IMG)
+
+
+def test_incremental_rescoring():
+    scorer = make_scorer()
+    d = Discussion()
+    root = d.add_node(-1, np.arange(1, 13, dtype=np.int32))
+    probs1 = scorer.score(d)
+    assert probs1.shape == (1, 2)
+    np.testing.assert_allclose(probs1.sum(-1), 1.0, rtol=1e-5)
+
+    # grow the discussion: every node gets re-scored
+    c1 = d.add_node(root, np.arange(2, 14, dtype=np.int32))
+    d.add_node(c1, np.arange(3, 15, dtype=np.int32))
+    probs2 = scorer.score(d)
+    assert probs2.shape == (3, 2)
+    # the root's score changes as context grows (re-scoring semantics,
+    # SURVEY.md §3.5)
+    assert not np.allclose(probs1[0], probs2[0])
+
+
+def test_image_node_scoring():
+    scorer = make_scorer()
+    d = Discussion()
+    d.add_node(
+        -1, np.arange(1, 13, dtype=np.int32),
+        image=np.random.default_rng(0).standard_normal(IMG).astype(np.float32),
+    )
+    d.add_node(0, np.arange(2, 14, dtype=np.int32))
+    probs = scorer.score(d)
+    assert probs.shape == (2, 2)
+    assert np.isfinite(probs).all()

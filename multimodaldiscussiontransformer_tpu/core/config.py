@@ -35,6 +35,11 @@ class BertTowerConfig:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     pad_token_id: int = 0
+    # encoder-swap surface (BASELINE.json "encoder-swap ablation"):
+    # RoBERTa uses pad-offset position ids and no token types
+    hidden_act: str = "gelu"  # gelu | gelu_new | quick_gelu
+    position_offset: int = 0  # RoBERTa: padding_idx + 1 = 2
+    use_token_type: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -56,6 +61,11 @@ class ViTTowerConfig:
     layer_norm_eps: float = 1e-12
     hidden_dropout_prob: float = 0.0
     attention_probs_dropout_prob: float = 0.0
+    # encoder-swap surface: CLIP-ViT uses QuickGELU, a pre-embedding
+    # layernorm, and a bias-free patch conv
+    hidden_act: str = "gelu"  # gelu | quick_gelu
+    embeddings_layernorm: bool = False
+    patch_bias: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -172,6 +182,37 @@ class ModelConfig:
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
+
+
+def roberta_tower_config(**overrides) -> BertTowerConfig:
+    """``roberta-base`` geometry for the encoder-swap ablation
+    (BASELINE.json configs; the reference reaches it via HF AutoModel
+    names — multigraphormer_graph_encoder.py:236-245, commented CLIP code at
+    hateful_discussions.py:58-59)."""
+    cfg = BertTowerConfig(
+        vocab_size=50265,
+        max_position_embeddings=514,
+        type_vocab_size=1,
+        layer_norm_eps=1e-5,
+        pad_token_id=1,
+        position_offset=2,  # RoBERTa padding_idx + 1
+        # HF RoBERTa still adds its single-row token-type table (ids all 0)
+        use_token_type=True,
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def clip_vit_tower_config(**overrides) -> ViTTowerConfig:
+    """``openai/clip-vit-base-patch32`` vision-tower geometry."""
+    cfg = ViTTowerConfig(
+        image_size=224,
+        patch_size=32,
+        layer_norm_eps=1e-5,
+        hidden_act="quick_gelu",
+        embeddings_layernorm=True,
+        patch_bias=False,
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
 def tiny_model_config(**overrides) -> ModelConfig:

@@ -39,6 +39,18 @@ Dtype = Any
 MASK_BIAS = -1e9
 
 
+def act_fn(name: str):
+    """HF activation registry subset: exact gelu (BERT/ViT), tanh-approx
+    gelu_new, and CLIP's QuickGELU."""
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_new":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    raise ValueError(f"unknown activation {name!r}")
+
+
 def attention_mask_bias(attention_mask: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
     """(…, S) {0,1} mask -> (…, 1, 1, S) additive bias.
 
@@ -120,7 +132,7 @@ class BertLayer(nn.Module):
         attn = self.attention_output_dense(attn)
         attn = self.hidden_dropout(attn, deterministic=deterministic)
         hidden = self.attention_output_layernorm(attn + hidden)
-        inter = jax.nn.gelu(self.intermediate_dense(hidden), approximate=False)
+        inter = act_fn(self.config.hidden_act)(self.intermediate_dense(hidden))
         out = self.output_dense(inter)
         out = self.hidden_dropout(out, deterministic=deterministic)
         return self.output_layernorm(out + hidden)
@@ -147,13 +159,19 @@ class BertEmbeddings(nn.Module):
         token_type_ids: jnp.ndarray,  # (B, S) int
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        c = self.config
         s = input_ids.shape[-1]
-        positions = jnp.arange(s, dtype=jnp.int32)[None, :]
-        emb = (
-            self.word_embeddings(input_ids)
-            + self.position_embeddings(positions)
-            + self.token_type_embeddings(token_type_ids)
-        ).astype(self.dtype)
+        if c.position_offset:
+            # RoBERTa position ids: cumulative count of non-pad tokens,
+            # shifted past padding_idx (HF create_position_ids_from_input_ids)
+            mask = (input_ids != c.pad_token_id).astype(jnp.int32)
+            positions = jnp.cumsum(mask, axis=-1) * mask + (c.position_offset - 1)
+        else:
+            positions = jnp.arange(s, dtype=jnp.int32)[None, :]
+        emb = self.word_embeddings(input_ids) + self.position_embeddings(positions)
+        if c.use_token_type:
+            emb = emb + self.token_type_embeddings(token_type_ids)
+        emb = emb.astype(self.dtype)
         emb = self.layernorm(emb)
         return self.dropout(emb, deterministic=deterministic)
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodaldiscussiontransformer_tpu.core.config import ViTTowerConfig
-from multimodaldiscussiontransformer_tpu.models.bert import SelfAttention
+from multimodaldiscussiontransformer_tpu.models.bert import SelfAttention, act_fn
 
 Dtype = Any
 
@@ -56,8 +56,8 @@ class ViTLayer(nn.Module):
         attn = self.attention_output_dense(attn)
         attn = self.hidden_dropout(attn, deterministic=deterministic)
         hidden = hidden + attn
-        mlp = jax.nn.gelu(
-            self.intermediate_dense(self.layernorm_after(hidden)), approximate=False
+        mlp = act_fn(self.config.hidden_act)(
+            self.intermediate_dense(self.layernorm_after(hidden))
         )
         mlp = self.output_dense(mlp)
         mlp = self.hidden_dropout(mlp, deterministic=deterministic)
@@ -79,9 +79,14 @@ class ViTEmbeddings(nn.Module):
             kernel_size=(c.patch_size, c.patch_size),
             strides=(c.patch_size, c.patch_size),
             padding="VALID",
+            use_bias=c.patch_bias,  # CLIP's patch conv is bias-free
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        if c.embeddings_layernorm:  # CLIP pre_layrnorm
+            self.pre_layernorm = nn.LayerNorm(
+                epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype
+            )
         self.cls_token = self.param(
             "cls_token",
             nn.initializers.zeros_init(),
@@ -113,6 +118,8 @@ class ViTEmbeddings(nn.Module):
         )
         x = jnp.concatenate([cls, x], axis=1)
         x = x + self.position_embeddings.astype(self.dtype)
+        if self.config.embeddings_layernorm:
+            x = self.pre_layernorm(x)
         return self.dropout(x, deterministic=deterministic)
 
 

@@ -29,7 +29,10 @@ def reset_classifier_head(params: Any, rng: jax.Array) -> Any:
     import flax
     import jax.numpy as jnp
 
-    params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+    params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+    # functional: rebuild the dict spine so the input tree is untouched
+    # (leaves are shared except the reset classifier)
+    params = jax.tree_util.tree_map_with_path(lambda _, x: x, params)
 
     def visit(tree):
         for k, v in tree.items():

@@ -113,6 +113,66 @@ def vit_embeddings_params(sd: Mapping[str, Any], prefix: str = "vit.embeddings")
     }
 
 
+def roberta_embeddings_params(
+    sd: Mapping[str, Any], prefix: str = "roberta.embeddings"
+) -> Dict[str, Any]:
+    """RoBERTa embeddings share the BERT structure (token-type table exists
+    with a single row); position-id offsetting is config-side
+    (core.config.roberta_tower_config)."""
+    return bert_embeddings_params(sd, prefix)
+
+
+def clip_vit_embeddings_params(
+    sd: Mapping[str, Any], prefix: str = "vision_model.embeddings"
+) -> Dict[str, Any]:
+    """HF ``CLIPVisionEmbeddings`` -> models.vit.ViTEmbeddings params."""
+    conv_w = np.asarray(sd[f"{prefix}.patch_embedding.weight"])
+    d = conv_w.shape[0]
+    return {
+        "patch_embeddings": {
+            "kernel": np.ascontiguousarray(conv_w.transpose(2, 3, 1, 0)),
+        },
+        "cls_token": np.asarray(sd[f"{prefix}.class_embedding"]).reshape(1, 1, d),
+        "position_embeddings": np.asarray(
+            sd[f"{prefix}.position_embedding.weight"]
+        )[None],
+    }
+
+
+def clip_vit_layer_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """HF ``CLIPEncoderLayer`` -> models.vit.ViTLayer params."""
+    return {
+        "layernorm_before": _layernorm(sd, f"{prefix}.layer_norm1"),
+        "attention": {
+            "query": _linear(sd, f"{prefix}.self_attn.q_proj"),
+            "key": _linear(sd, f"{prefix}.self_attn.k_proj"),
+            "value": _linear(sd, f"{prefix}.self_attn.v_proj"),
+        },
+        "attention_output_dense": _linear(sd, f"{prefix}.self_attn.out_proj"),
+        "layernorm_after": _layernorm(sd, f"{prefix}.layer_norm2"),
+        "intermediate_dense": _linear(sd, f"{prefix}.mlp.fc1"),
+        "output_dense": _linear(sd, f"{prefix}.mlp.fc2"),
+    }
+
+
+def clip_vit_tower_params(
+    sd: Mapping[str, Any],
+    num_layers: int,
+    prefix: str = "vision_model",
+) -> Dict[str, Any]:
+    """Bottom CLIP vision tower incl. pre_layrnorm; the truncated-final-LN
+    quirk maps post_layernorm into the tower tail exactly like ViT."""
+    emb = clip_vit_embeddings_params(sd, f"{prefix}.embeddings")
+    emb["pre_layernorm"] = _layernorm(sd, f"{prefix}.pre_layrnorm")
+    out = {"embeddings": emb}
+    for i in range(num_layers):
+        out[f"layer_{i}"] = clip_vit_layer_params(
+            sd, f"{prefix}.encoder.layers.{i}"
+        )
+    out["layernorm"] = _layernorm(sd, f"{prefix}.post_layernorm")
+    return out
+
+
 def import_towers(
     params: Dict[str, Any],
     cfg: ModelConfig,

@@ -202,10 +202,10 @@ class GraphormerGraphEncoderLayer(nn.Module):
     def setup(self) -> None:
         c = self.config
         self.self_attn = BiasedMultiheadAttention(c, self.dtype, self.param_dtype)
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
         self.fc1 = nn.Dense(c.encoder_ffn_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype)
         self.fc2 = nn.Dense(c.encoder_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.final_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
         self.dropout = nn.Dropout(c.dropout)
         self.activation_dropout = nn.Dropout(c.act_dropout)
 

@@ -107,7 +107,7 @@ class MultiGraphormerGraphEncoder(nn.Module):
             self.param_dtype,
         )
         if c.encoder_normalize_before:
-            self.emb_layer_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)
+            self.emb_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
         self.emb_dropout = nn.Dropout(c.dropout)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True) -> EncoderOutput:

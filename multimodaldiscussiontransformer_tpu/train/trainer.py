@@ -199,9 +199,14 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
         acc = MetricAccumulator(self.criterion.reduce_metrics)
+        from multimodaldiscussiontransformer_tpu.data.loader import (
+            prefetch_to_device,
+        )
+
         with self.mesh:
-            for batch in self.eval_batches(dataset, split):
-                jb = shard_batch(self.mesh, batch.asdict())
+            for jb in prefetch_to_device(
+                self.eval_batches(dataset, split), self.mesh
+            ):
                 acc.update(self._eval_step(state.params, jb))
         return acc.reduce()
 
@@ -229,10 +234,15 @@ class Trainer:
         num_updates = int(state.step)
         best_metric = None
 
+        from multimodaldiscussiontransformer_tpu.data.loader import (
+            prefetch_to_device,
+        )
+
         with self.mesh:
             for epoch in range(1, max_epoch + 1):
-                for batch in self.train_batches(dataset, epoch):
-                    jb = shard_batch(self.mesh, batch.asdict())
+                for jb in prefetch_to_device(
+                    self.train_batches(dataset, epoch), self.mesh
+                ):
                     state, logs = self._train_step(state, jb)
                     acc.update(logs)
                     num_updates += 1

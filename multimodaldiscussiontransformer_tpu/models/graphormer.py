@@ -121,6 +121,26 @@ class GraphAttnBias(nn.Module):
             g = g + template  # "reset" double-add (graphormer_layers.py:108)
         return g
 
+    def compact_inputs(
+        self,
+        attn_bias: jnp.ndarray,  # (B, N+1, N+1) template
+        spatial_pos: jnp.ndarray,  # (B, N, N)
+    ):
+        """Compact (template, ids, lut) triple for the fused tree-attention
+        kernel — the bias is assembled in-kernel instead of materializing
+        (B, H, S, S) in HBM (ops/tree_attention.py). Requires the +1-shifted
+        bucket ids to fit the LUT (clipped Cantor space: <= 22 ids)."""
+        from multimodaldiscussiontransformer_tpu.ops.tree_attention import (
+            build_compact_bias_inputs,
+        )
+
+        return build_compact_bias_inputs(
+            attn_bias,
+            spatial_pos,
+            self.spatial_pos_encoder.astype(jnp.float32),
+            self.graph_token_virtual_distance.astype(jnp.float32),
+        )
+
 
 class BiasedMultiheadAttention(nn.Module):
     """Self-attention with additive per-head bias and key-padding masking
@@ -161,6 +181,29 @@ class BiasedMultiheadAttention(nn.Module):
             c.use_pallas_attention
             and (deterministic or c.attention_dropout == 0.0)
         )
+        if isinstance(attn_bias, tuple):
+            # compact-bias path: (template, ids, lut) assembled in-kernel;
+            # the template already encodes key padding (collator semantics)
+            from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
+
+            template, ids, lut = attn_bias
+            if deterministic or c.attention_dropout == 0.0:
+                ctx = ta.tree_attention(
+                    q.transpose(0, 2, 1, 3),
+                    k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3),
+                    template, ids, lut,
+                    scale=scaling,
+                    double_add=c.double_add_attn_bias,
+                    use_pallas=use_fused,
+                ).transpose(0, 2, 1, 3).reshape(b, s, d)
+                return self.out_proj(ctx)
+            # attention dropout active: assemble the full bias and take the
+            # standard path so probs can be dropped out
+            attn_bias = ta._assemble_bias_xla(
+                template, ids, lut, c.double_add_attn_bias
+            ).astype(x.dtype)
+            key_padding_mask = None
         if use_fused:
             # Pallas fused path: probabilities never materialize in HBM
             from multimodaldiscussiontransformer_tpu.ops.biased_attention import (

@@ -170,7 +170,16 @@ class MultiGraphormerGraphEncoder(nn.Module):
         )
 
         x = self.graph_node_feature(grid, batch["in_degree"], batch["out_degree"])
-        attn_bias = self.graph_attn_bias(batch["attn_bias"], batch["spatial_pos"])
+        if c.use_pallas_attention:
+            # compact (template, ids, lut): the (B,H,S,S) bias never
+            # materializes — it is assembled inside the tree-attention kernel
+            attn_bias = self.graph_attn_bias.compact_inputs(
+                batch["attn_bias"], batch["spatial_pos"]
+            )
+        else:
+            attn_bias = self.graph_attn_bias(
+                batch["attn_bias"], batch["spatial_pos"]
+            )
 
         if c.encoder_normalize_before:
             x = self.emb_layer_norm(x)
@@ -297,4 +306,23 @@ def multi_graphormer_base(cfg: Optional[ModelConfig] = None, **overrides) -> Mod
     (multi_modal_discussion_transformer.py:320-344) combined with the
     canonical launch overrides (run_train.sh:47-54, sample_run.sh:3)."""
     base = cfg if cfg is not None else ModelConfig()
+    return base.replace(**overrides) if overrides else base
+
+
+@register_model_architecture("multi_graphormer_roberta_clip")
+def multi_graphormer_roberta_clip(**overrides) -> ModelConfig:
+    """Encoder-swap ablation: RoBERTa text tower + CLIP-ViT image tower
+    (BASELINE.json configs; reference reaches this via HF AutoModel names +
+    the commented CLIP path at hateful_discussions.py:58-59)."""
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        clip_vit_tower_config,
+        roberta_tower_config,
+    )
+
+    base = ModelConfig(
+        text_tower=roberta_tower_config(),
+        image_tower=clip_vit_tower_config(),
+        text_encoder_name="roberta-base",
+        image_encoder_name="openai/clip-vit-base-patch32",
+    )
     return base.replace(**overrides) if overrides else base

@@ -1,0 +1,223 @@
+"""Fused tree attention with in-kernel spatial-bias assembly (kernel v2).
+
+The mDT graph attention bias decomposes (graphormer_layers.py:86-110) as
+
+    bias[b,h,i,j] = 2*template[b,i,j] + LUT_h[ids[b,i,j]]
+
+where ``template`` is the collator's (B,S,S) 0/-inf mask (double-added,
+ref quirk), and ``LUT_h`` merges the spatial-bucket embedding column for head
+h with the graph-token virtual distance: the +1-shifted Cantor bucket space
+is tiny (22 live ids out of num_spatial=512 — data/preprocess.py), so the
+graph-token row/column can be encoded as one extra id and the whole per-head
+bias becomes a <=32-entry lookup.
+
+The naive path materializes the (B, H, S, S) f32 bias in HBM and reads it in
+every one of the ~12 graph-attention calls per forward. This kernel instead
+reads the compact (B,S,S) template + (B,S,S) int32 ids (cached across the H
+grid steps — their index map is head-invariant) and assembles the bias
+in-register via a LUT_SIZE-step select loop on the VPU: ~H-fold less bias
+traffic, and the (B,H,S,S) tensor never exists.
+
+Gradients: custom VJP; dq/dk/dv/dLUT are computed with an XLA recompute
+backward (d_LUT via a one-hot segment-sum over ids).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MASK_BIAS = -1e9
+LUT_SIZE = 32  # >= 1 (pad) + 21 cantor buckets + 1 graph-token id
+GRAPH_TOKEN_ID = LUT_SIZE - 1  # sentinel id for the virtual-distance entry
+
+
+def build_compact_bias_inputs(
+    attn_bias_template: jnp.ndarray,  # (B, S, S) collator template, S = N+1
+    spatial_pos: jnp.ndarray,  # (B, N, N) +1-shifted bucket ids
+    spatial_table: jnp.ndarray,  # (num_spatial, H) learned embedding
+    virtual_t: jnp.ndarray,  # (1, H) graph-token virtual distance
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(template f32, ids int32 (B,S,S), lut f32 (LUT_SIZE, H)).
+
+    Encodes the reference assembly (graphormer_layers.py:93-108):
+    ids[1:,1:] = spatial_pos; ids[0,:] = ids[1:,0] = GRAPH_TOKEN_ID
+    (each of those positions receives exactly one ``t`` in the reference);
+    lut[0] = 0 (padding_idx), lut[k] = spatial row k, lut[-1] = t."""
+    b, n, _ = spatial_pos.shape
+    s = n + 1
+    ids = jnp.full((b, s, s), GRAPH_TOKEN_ID, dtype=jnp.int32)
+    ids = ids.at[:, 1:, 1:].set(spatial_pos.astype(jnp.int32))
+    lut = jnp.zeros((LUT_SIZE, spatial_table.shape[1]), jnp.float32)
+    lut = lut.at[1 : LUT_SIZE - 1].set(
+        spatial_table[1 : LUT_SIZE - 1].astype(jnp.float32)
+    )
+    lut = lut.at[GRAPH_TOKEN_ID].set(virtual_t[0].astype(jnp.float32))
+    return attn_bias_template.astype(jnp.float32), ids, lut
+
+
+def _make_kernel(scale: float, double_add: bool, num_heads: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref):
+        head = pl.program_id(1)
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # (S, dh)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[0].astype(jnp.float32), MASK_BIAS)  # (S, S)
+        ids = ids_ref[0]  # (S, S) int32
+
+        # in-register LUT assembly: sum_k where(ids == k, lut[head, k], 0);
+        # the clipped bucket space is tiny so this statically unrolls into
+        # LUT_SIZE-1 VPU selects (id 0 is padding -> contributes 0)
+        spatial = jnp.zeros(ids.shape, jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(ids == kk, lut_ref[head, kk], 0.0)
+        bias = (2.0 if double_add else 1.0) * tpl + spatial
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias
+        )
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), MASK_BIAS)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, 0] = (acc / jnp.maximum(denom, 1e-30)).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _tree_forward(q, k, v, template, ids, lut, scale, double_add):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, h, s, dh = q.shape
+    s_pad = -(-s // 8) * 8
+    if s_pad != s:
+        pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
+        template = jnp.pad(
+            template, [(0, 0), (0, s_pad - s), (0, s_pad - s)],
+            constant_values=MASK_BIAS,
+        )
+        # padded positions: id 0 -> lut 0 contribution
+        ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+
+    def qkv_map(b, hh):
+        return (b, hh, 0, 0)
+
+    def shared_map(b, hh):  # head-invariant: cached in VMEM across h steps
+        return (b, 0, 0)
+
+    out = pl.pallas_call(
+        _make_kernel(scale, double_add, h),
+        grid=(bsz, h),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lut (H, LUT_SIZE)
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, s_pad), shared_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, s_pad), shared_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, s_pad, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * h * s_pad * s_pad * dh,
+            bytes_accessed=bsz * (3 * h * s_pad * dh * 2 + 2 * s_pad * s_pad * 4),
+            transcendentals=bsz * h * s_pad * s_pad,
+        ),
+    )(jnp.asarray(lut.T), q, k, v, template, ids)
+    return out[:, :, :s, :] if s_pad != s else out
+
+
+def _assemble_bias_xla(template, ids, lut, double_add):
+    """Reference assembly in XLA (backward recompute + CPU oracle).
+
+    Enforces the LUT contract (id 0 = padding -> exact zero contribution,
+    torch padding_idx semantics) like the kernel's unrolled select does."""
+    t = jnp.maximum(template.astype(jnp.float32), MASK_BIAS)
+    lut = lut.at[0].set(0.0)
+    gathered = jnp.take(lut, ids, axis=0)  # (B, S, S, H)
+    bias = gathered.transpose(0, 3, 1, 2)
+    return bias + (2.0 if double_add else 1.0) * t[:, None]
+
+
+def tree_attention_reference(q, k, v, template, ids, lut, scale=None, double_add=True):
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    bias = _assemble_bias_xla(template, ids, lut, double_add)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
+    ) + bias
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _tree_attention(q, k, v, template, ids, lut, scale, double_add):
+    return _tree_forward(q, k, v, template, ids, lut, scale, double_add)
+
+
+def _fwd(q, k, v, template, ids, lut, scale, double_add):
+    out = _tree_attention(q, k, v, template, ids, lut, scale, double_add)
+    return out, (q, k, v, template, ids, lut)
+
+
+def _bwd(scale, double_add, res, g):
+    q, k, v, template, ids, lut = res
+    qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, g))
+    bias = _assemble_bias_xla(template, ids, lut, double_add)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qf * scale, kf) + bias
+    p = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (B,H,S,S)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
+    # d_lut[k, h] = sum of ds over positions with ids == k; row 0 is the
+    # padding entry and receives no gradient (padding_idx semantics)
+    onehot = jax.nn.one_hot(ids, LUT_SIZE, dtype=jnp.float32)  # (B,S,S,L)
+    dlut = jnp.einsum("bhij,bijl->lh", ds, onehot).at[0].set(0.0)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        None,  # template is data
+        None,  # ids are data
+        dlut.astype(lut.dtype),
+    )
+
+
+_tree_attention.defvjp(_fwd, _bwd)
+
+
+def tree_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    template: jnp.ndarray,
+    ids: jnp.ndarray,
+    lut: jnp.ndarray,
+    scale: Optional[float] = None,
+    double_add: bool = True,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Compact-bias tree attention (Pallas on TPU, XLA elsewhere)."""
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not use_pallas or not on_tpu:
+        return tree_attention_reference(q, k, v, template, ids, lut, scale, double_add)
+    return _tree_attention(q, k, v, template, ids, lut, scale, double_add)

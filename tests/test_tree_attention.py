@@ -1,0 +1,104 @@
+"""Compact-bias tree attention: equivalence to the full-bias path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodaldiscussiontransformer_tpu.core.config import tiny_model_config
+from multimodaldiscussiontransformer_tpu.data.collator import collate
+from multimodaldiscussiontransformer_tpu.data.synthetic import synthetic_batch_items
+from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
+from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
+
+IMG = (3, 32, 32)
+
+
+def test_compact_assembly_matches_full():
+    """XLA-assembled bias from (template, ids, lut) must equal the module's
+    full GraphAttnBias output."""
+    from multimodaldiscussiontransformer_tpu.models.graphormer import GraphAttnBias
+
+    cfg = tiny_model_config()
+    items = synthetic_batch_items(
+        2, seed=0, seq_len=12, vocab_size=128, image_shape=IMG, max_nodes=7
+    )
+    batch = collate(items, spatial_pos_max=5, image_shape=IMG)
+    template = jnp.asarray(batch.attn_bias)
+    spatial = jnp.asarray(batch.spatial_pos)
+
+    mod = GraphAttnBias(cfg)
+    params = mod.init(jax.random.PRNGKey(0), template, spatial)
+    full = mod.apply(params, template, spatial)
+    tpl, ids, lut = mod.apply(
+        params, template, spatial, method=GraphAttnBias.compact_inputs
+    )
+    assembled = ta._assemble_bias_xla(tpl, ids, lut, cfg.double_add_attn_bias)
+    f = np.asarray(full, np.float32)
+    a = np.asarray(assembled, np.float32)
+    # -inf in the full path becomes large-negative in the compact path;
+    # compare only where the full bias is finite, and check masked slots are
+    # hugely negative in both
+    finite = np.isfinite(f)
+    np.testing.assert_allclose(a[finite], f[finite], rtol=1e-5, atol=1e-6)
+    assert (a[~finite] < -1e8).all()
+
+
+def test_model_compact_path_matches_full():
+    """Full model forward with use_pallas_attention=True (compact path, XLA
+    fallback on CPU) must match the default path."""
+    cfg = tiny_model_config()
+    items = synthetic_batch_items(
+        2, seed=1, seq_len=12, vocab_size=128, image_shape=IMG, max_nodes=8,
+        image_prob=0.5,
+    )
+    batch = collate(items, spatial_pos_max=5, image_shape=IMG)
+    jb = {k: jnp.asarray(v) for k, v in batch.asdict().items()}
+
+    m_full = MDTModel(cfg)
+    params = m_full.init(jax.random.PRNGKey(0), jb, deterministic=True)
+    out_full = m_full.apply(params, jb, deterministic=True)
+
+    m_compact = MDTModel(cfg.replace(use_pallas_attention=True))
+    out_compact = m_compact.apply(params, jb, deterministic=True)
+
+    np.testing.assert_allclose(
+        np.asarray(out_full.logits)[batch.node_mask],
+        np.asarray(out_compact.logits)[batch.node_mask],
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_full.global_embedding),
+        np.asarray(out_compact.global_embedding),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_tree_attention_grads():
+    """Custom VJP (incl. d_lut segment-sum) matches autodiff of the
+    reference assembly."""
+    rng = np.random.default_rng(0)
+    b, h, s, dh = 2, 3, 9, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    template = jnp.asarray(rng.standard_normal((b, s, s)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 22, (b, s, s)), jnp.int32)
+    lut = jnp.asarray(rng.standard_normal((ta.LUT_SIZE, h)), jnp.float32)
+    scale = dh**-0.5
+
+    def f_ref(q, k, v, lut):
+        return jnp.sum(
+            ta.tree_attention_reference(q, k, v, template, ids, lut, scale) ** 2
+        )
+
+    def f_fused(q, k, v, lut):
+        return jnp.sum(
+            ta._tree_attention(q, k, v, template, ids, lut, scale, True) ** 2
+        )
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(q, k, v, lut)
+    g_fus = jax.grad(f_fused, argnums=(0, 1, 2, 3))(q, k, v, lut)
+    for a, b_ in zip(g_ref, g_fus):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=3e-4, atol=2e-5
+        )

@@ -276,6 +276,10 @@ class DataConfig:
 
     batch_size: int = 12  # graphs per batch (run_train.sh:44)
     max_text_len: int = 100  # hateful_discussions.py:165
+    # per-batch token-length buckets: trim the fixed 100-token padding down
+    # to the batch's longest attended token (numerics-identical; the text
+    # tower is the FLOP-dominant component)
+    text_len_buckets: Tuple[int, ...] = (32, 64, 100)
     # per-graph node-count buckets (graphs padded up to the nearest)
     node_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
     # total real-node capacity buckets for the flattened text tower

@@ -31,6 +31,7 @@ padding semantics exactly:
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, fields
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -114,10 +115,37 @@ def collate(
     shard_multiple: int = 1,
     contrastive: bool = False,
     image_shape: Tuple[int, int, int] = (3, 224, 224),
+    text_len_buckets: Optional[Sequence[int]] = None,
 ) -> Batch:
-    """Collate preprocessed GraphItems into one static-shape Batch."""
+    """Collate preprocessed GraphItems into one static-shape Batch.
+
+    ``text_len_buckets``: optional token-length ladder. The reference pads
+    every comment to the tokenizer max (100, hateful_discussions.py:165) and
+    pays the full text-tower cost for it; most comments are far shorter, so
+    trimming to the smallest bucket covering the batch's longest attended
+    token is a large FLOP saving with identical numerics (the removed
+    columns are fully masked in every consumer)."""
     b = len(items)
     t = items[0].input_ids.shape[1]
+    if text_len_buckets:
+        longest = max(
+            (
+                int(np.max(np.where(it.attention_mask.any(axis=0))[0], initial=0)) + 1
+                if it.attention_mask.any()
+                else 1
+            )
+            for it in items
+        )
+        t = min(_bucket(longest, text_len_buckets), t)
+        items = [
+            dataclasses.replace(
+                it,
+                input_ids=it.input_ids[:, :t],
+                token_type_ids=it.token_type_ids[:, :t],
+                attention_mask=it.attention_mask[:, :t],
+            )
+            for it in items
+        ]
     n_per_graph = [it.num_nodes for it in items]
     total_nodes = sum(n_per_graph)
     nmax = _bucket(max(n_per_graph), node_buckets)

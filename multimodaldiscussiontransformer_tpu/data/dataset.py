@@ -114,4 +114,5 @@ def iterate_batches(
             shard_multiple=shard_multiple,
             contrastive=contrastive,
             image_shape=image_shape,
+            text_len_buckets=getattr(data_cfg, "text_len_buckets", None),
         )

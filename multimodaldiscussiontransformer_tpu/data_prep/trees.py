@@ -58,7 +58,7 @@ def build_month_trees(
 
 def combine_months(
     data_dir: str,
-    label_parquet_glob: str = "data/*-processed.parquet",
+    label_parquet_glob: str = "*-processed.parquet",
     out_path: str = "complete-graphs.json",
 ) -> int:
     """Stage-2 driver over ``<date>-submissions.json`` /

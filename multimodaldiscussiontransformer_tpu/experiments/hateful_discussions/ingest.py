@@ -99,10 +99,11 @@ class HashTokenizer:
     with bert-base-uncased — use only when the real tokenizer is
     unavailable (tests, offline ingestion dry-runs)."""
 
-    cls_id, sep_id, pad_id = 101, 102, 0
-
     def __init__(self, vocab_size: int = 30522):
         self.vocab_size = vocab_size
+        self.pad_id = 0
+        self.cls_id = 101 if vocab_size > 1100 else 1
+        self.sep_id = 102 if vocab_size > 1100 else 2
 
     def __call__(self, texts: Sequence[str], max_length: int = 100):
         import hashlib
@@ -112,11 +113,12 @@ class HashTokenizer:
         mask = np.zeros((n, max_length), np.int32)
         for i, t in enumerate(texts):
             toks = [self.cls_id]
+            base = 1000 if self.vocab_size > 1100 else 3
             for w in t.lower().split():
                 h = int.from_bytes(
                     hashlib.md5(w.encode()).digest()[:4], "little"
                 )
-                toks.append(1000 + h % (self.vocab_size - 1100))
+                toks.append(base + h % (self.vocab_size - base - 1))
                 if len(toks) >= max_length - 1:
                     break
             toks.append(self.sep_id)
@@ -129,12 +131,28 @@ class HashTokenizer:
         }
 
 
-def make_tokenizer(name: str = "bert-base-uncased") -> Callable:
-    """HF tokenizer when available, hash fallback otherwise."""
+def make_tokenizer(
+    name: str = "bert-base-uncased", vocab_size: int = 30522
+) -> Callable:
+    """HF tokenizer when available, hash fallback otherwise.
+
+    ``name="__offline__"`` forces the hash fallback (e.g. smoke runs with
+    tiny-vocab models). Otherwise the local HF cache is tried first
+    (fail-fast, no retry storm in zero-egress environments); a network
+    download is attempted only when ``MDT_ALLOW_DOWNLOAD=1``."""
+    if name == "__offline__":
+        return HashTokenizer(vocab_size)
     try:
+        import os
+
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(name)
+        try:
+            tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
+        except Exception:
+            if os.environ.get("MDT_ALLOW_DOWNLOAD") != "1":
+                raise
+            tok = AutoTokenizer.from_pretrained(name)
 
         def call(texts, max_length=100):
             out = tok(
@@ -154,7 +172,7 @@ def make_tokenizer(name: str = "bert-base-uncased") -> Callable:
 
         return call
     except Exception:
-        return HashTokenizer()
+        return HashTokenizer(vocab_size)
 
 
 def preprocess_image(path_or_array, size: int = VIT_SIZE) -> np.ndarray:
@@ -330,13 +348,14 @@ def process(
     max_length: int = 100,
     limit: Optional[int] = None,
     log_every: int = 1000,
+    vocab_size: int = 30522,
 ) -> int:
     """Full ingestion over ``pruned-with-images.json``; returns the number of
     processed graph copies. Layout mirrors the reference
     (graph-<k>.npz under <out_root>/processed + *-idx-many.txt index files,
     hateful_discussions.py:88-106,225-231)."""
     os.makedirs(os.path.join(out_root, "processed"), exist_ok=True)
-    tokenizer = make_tokenizer(tokenizer_name)
+    tokenizer = make_tokenizer(tokenizer_name, vocab_size)
 
     def read_idx(path):
         if path and os.path.exists(path):
@@ -391,12 +410,14 @@ def main(argv=None) -> int:
     p.add_argument("--tokenizer", default="bert-base-uncased")
     p.add_argument("--max-length", type=int, default=100)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--vocab-size", type=int, default=30522)
     args = p.parse_args(argv)
     process(
         args.json_path, args.out_root,
         train_idx_file=args.train_idx, test_idx_file=args.test_idx,
         tokenizer_name=args.tokenizer, image_root=args.image_root,
         max_length=args.max_length, limit=args.limit,
+        vocab_size=args.vocab_size,
     )
     return 0
 

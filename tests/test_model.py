@@ -170,3 +170,26 @@ def test_dropout_rng_changes_output(model_and_params):
         params, jb, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)}
     )
     assert not np.allclose(np.asarray(out1.logits), np.asarray(out2.logits))
+
+
+def test_text_length_bucketing_invariance(model_and_params):
+    """Trimming fully-masked token columns must not change outputs
+    (the collator text_len_buckets optimization)."""
+    _, model, params = model_and_params
+    items = synthetic_batch_items(
+        2, seed=7, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8,
+    )
+    # force short texts: mask out everything past token 9
+    for it in items:
+        it.attention_mask[:, 9:] = 0
+        it.input_ids[:, 9:] = 0
+    full = make_batch(items)
+    trimmed = make_batch(items, text_len_buckets=(8, 12, 16))
+    assert trimmed.input_ids.shape[1] == 12
+    out_f = model.apply(params, to_jax(full), deterministic=True)
+    out_t = model.apply(params, to_jax(trimmed), deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_f.logits)[full.node_mask],
+        np.asarray(out_t.logits)[trimmed.node_mask],
+        rtol=1e-4, atol=1e-5,
+    )

@@ -117,6 +117,10 @@ class ModelConfig:
     act_dropout: float = 0.3
 
     activation_fn: str = "gelu"
+    # graph-only ablation (BASELINE.json configs): drop the image tower and
+    # ViT fusion halves entirely — text embeddings + graphormer tree
+    # attention only
+    use_image_tower: bool = True
     encoder_normalize_before: bool = True
     pre_layernorm: bool = False
     apply_graphormer_init: bool = False

@@ -43,7 +43,8 @@ class GraphFusionLayer(nn.Module):
 
     def setup(self) -> None:
         self.bert_encoder = BertLayer(self.config.text_tower, self.dtype, self.param_dtype)
-        self.vit_encoder = ViTLayer(self.config.image_tower, self.dtype, self.param_dtype)
+        if self.config.use_image_tower:
+            self.vit_encoder = ViTLayer(self.config.image_tower, self.dtype, self.param_dtype)
 
     def __call__(
         self,
@@ -61,7 +62,7 @@ class GraphFusionLayer(nn.Module):
         bert_hidden_out = bert_out_full[:, nbn:]
         bn_out = bert_out_full[:, :nbn]
 
-        if vit_hidden is not None:
+        if vit_hidden is not None and self.config.use_image_tower:
             # zero-capacity image buffers flow through as zero-sized XLA ops,
             # keeping ViT fusion params materialized in all-text batches
             # gather bottleneck rows for image-bearing nodes; padded slots

@@ -84,9 +84,10 @@ class MultiGraphormerGraphEncoder(nn.Module):
         self.text_model = BertBottomTower(
             c.text_tower, c.num_bottom_text_layers, self.dtype, self.param_dtype
         )
-        self.vit_model = ViTBottomTower(
-            c.image_tower, c.num_bottom_image_layers, self.dtype, self.param_dtype
-        )
+        if c.use_image_tower:
+            self.vit_model = ViTBottomTower(
+                c.image_tower, c.num_bottom_image_layers, self.dtype, self.param_dtype
+            )
         sizes = _stack_sizes(c.num_fusion_layers + 1, c.num_fusion_stack)
         self.fusion_layers = [
             GraphFusionStack(c, n, self.dtype, self.param_dtype, name=f"fusion_stack_{i}")
@@ -127,11 +128,15 @@ class MultiGraphormerGraphEncoder(nn.Module):
         bert_out = self.text_model(
             input_ids, batch["token_type_ids"], batch["attention_mask"], deterministic
         )
-        # always run the image tower: a zero-capacity image buffer is a
-        # zero-sized XLA computation, keeps params materialized, and removes
-        # the reference's data-dependent branch (ref 332-337)
-        vit_out = self.vit_model(batch["images"], deterministic)
-        image_node = batch["image_node"]
+        # always run the image tower (when configured): a zero-capacity image
+        # buffer is a zero-sized XLA computation, keeps params materialized,
+        # and removes the reference's data-dependent branch (ref 332-337)
+        if c.use_image_tower:
+            vit_out = self.vit_model(batch["images"], deterministic)
+            image_node = batch["image_node"]
+        else:
+            vit_out = None
+            image_node = None
 
         # ---- bottleneck init + extended fusion mask (ref 339-354) ----
         bn = jnp.broadcast_to(
@@ -257,7 +262,8 @@ class MDTModel(nn.Module):
         # vit_pooler: unfrozen but uncalled in the reference forward
         # (multigraphormer_graph_encoder.py:228); exposed for the image-head
         # ablation surface
-        self.vit_pooler = ViTPooler(c.image_tower.hidden_size, self.dtype, self.param_dtype)
+        if c.use_image_tower:
+            self.vit_pooler = ViTPooler(c.image_tower.hidden_size, self.dtype, self.param_dtype)
 
     def __call__(
         self, batch: Dict[str, jnp.ndarray], deterministic: bool = True
@@ -306,6 +312,14 @@ def multi_graphormer_base(cfg: Optional[ModelConfig] = None, **overrides) -> Mod
     (multi_modal_discussion_transformer.py:320-344) combined with the
     canonical launch overrides (run_train.sh:47-54, sample_run.sh:3)."""
     base = cfg if cfg is not None else ModelConfig()
+    return base.replace(**overrides) if overrides else base
+
+
+@register_model_architecture("multi_graphormer_graph_only")
+def multi_graphormer_graph_only(**overrides) -> ModelConfig:
+    """Graph-only ablation: text embeddings + graphormer tree attention, no
+    image tower (BASELINE.json configs)."""
+    base = ModelConfig(use_image_tower=False)
     return base.replace(**overrides) if overrides else base
 
 

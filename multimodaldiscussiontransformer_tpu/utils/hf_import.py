@@ -202,14 +202,15 @@ def import_towers(
         ge["text_model"][f"layer_{i}"] = bert_layer_params(
             bert_sd, f"{bert_prefix}.encoder.layer.{i}"
         )
-    ge["vit_model"]["embeddings"] = vit_embeddings_params(
-        vit_sd, f"{vit_prefix}.embeddings"
-    )
-    for i in range(n_image_total - n_split):
-        ge["vit_model"][f"layer_{i}"] = vit_layer_params(
-            vit_sd, f"{vit_prefix}.encoder.layer.{i}"
+    if cfg.use_image_tower and vit_sd is not None:
+        ge["vit_model"]["embeddings"] = vit_embeddings_params(
+            vit_sd, f"{vit_prefix}.embeddings"
         )
-    ge["vit_model"]["layernorm"] = _layernorm(vit_sd, f"{vit_prefix}.layernorm")
+        for i in range(n_image_total - n_split):
+            ge["vit_model"][f"layer_{i}"] = vit_layer_params(
+                vit_sd, f"{vit_prefix}.encoder.layer.{i}"
+            )
+        ge["vit_model"]["layernorm"] = _layernorm(vit_sd, f"{vit_prefix}.layernorm")
 
     # top layers -> fusion stacks, in order (ref 145-168)
     sizes = []
@@ -226,9 +227,10 @@ def import_towers(
             stack[f"fusion_{j}"]["bert_encoder"] = bert_layer_params(
                 bert_sd, f"{bert_prefix}.encoder.layer.{hf_text}"
             )
-            stack[f"fusion_{j}"]["vit_encoder"] = vit_layer_params(
-                vit_sd, f"{vit_prefix}.encoder.layer.{hf_image}"
-            )
+            if cfg.use_image_tower and vit_sd is not None:
+                stack[f"fusion_{j}"]["vit_encoder"] = vit_layer_params(
+                    vit_sd, f"{vit_prefix}.encoder.layer.{hf_image}"
+                )
             k += 1
 
     # output head: BERT pooler + seq-classification classifier
@@ -236,7 +238,11 @@ def import_towers(
     p["text_pooler"] = {"dense": _linear(bert_sd, f"{bert_prefix}.pooler.dense")}
     if "classifier.weight" in bert_sd:
         p["node_classifier"] = _linear(bert_sd, "classifier")
-    if f"{vit_prefix}.pooler.dense.weight" in vit_sd:
+    if (
+        cfg.use_image_tower
+        and vit_sd is not None
+        and f"{vit_prefix}.pooler.dense.weight" in vit_sd
+    ):
         p["vit_pooler"] = {"dense": _linear(vit_sd, f"{vit_prefix}.pooler.dense")}
     return params
 

@@ -193,3 +193,22 @@ def test_text_length_bucketing_invariance(model_and_params):
         np.asarray(out_t.logits)[trimmed.node_mask],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_graph_only_config():
+    """No image tower: no vit params, forward runs on image-free batches
+    (the graph-only ablation, BASELINE.json configs)."""
+    cfg = tiny_model_config().replace(use_image_tower=False)
+    items = synthetic_batch_items(
+        2, seed=8, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8,
+        image_prob=0.0,
+    )
+    batch = make_batch(items)
+    jb = to_jax(batch)
+    model = MDTModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jb, deterministic=True)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths = ["/".join(str(getattr(p, "key", p)) for p in path) for path, _ in flat]
+    assert not any("vit" in p for p in paths)
+    out = model.apply(params, jb, deterministic=True)
+    assert np.isfinite(np.asarray(out.logits)[batch.node_mask]).all()

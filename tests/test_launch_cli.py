@@ -1,0 +1,63 @@
+"""Launch-CLI flag parity: the canonical reference invocation must map onto
+the exact canonical TrainConfig (run_train.sh:28-65, sample_run.sh:3)."""
+
+from multimodaldiscussiontransformer_tpu.train.launch import (
+    build_parser,
+    config_from_args,
+)
+
+CANONICAL = (
+    "--task node_prediction --criterion node_cross_entropy "
+    "--arch multi_graphormer_base --dataset-name hateful_discussions "
+    "--num-fusion-layers 8 --num-bottleneck-tokens 4 --spatial-pos-max 5 "
+    "--num-graph-stack 2 --num-fusion-stack 2 --split 0 "
+    "--encoder-embed-dim 768 --encoder-ffn-embed-dim 768 "
+    "--encoder-attention-heads 12 --encoder-layers 12 "
+    "--dropout 0.4 --attention-dropout 0.3 --act-dropout 0.3 "
+    "--lr 3e-5 --end-learning-rate 3e-7 --power 1 "
+    "--warmup-updates 3246 --total-num-update 10820 "
+    "--adam-eps 1e-8 --weight-decay 0.01 --clip-norm 0 "
+    "--batch-size 12 --update-freq 3 --max-epoch 37 "
+    "--positive-weight 1.5 --negative-weight 1.0 "
+    "--freeze-initial-encoders --validate-interval-updates 300 "
+    "--save-dir ckpts/run0"
+).split()
+
+
+def test_canonical_flags_roundtrip():
+    args = build_parser().parse_args(CANONICAL)
+    cfg = config_from_args(args)
+    m, o = cfg.model, cfg.optim
+    assert cfg.task == "node_prediction"
+    assert cfg.criterion == "node_cross_entropy"
+    assert cfg.task_cfg.dataset_name == "hateful_discussions"
+    assert cfg.task_cfg.spatial_pos_max == 5
+    assert (m.num_fusion_layers, m.num_bottleneck_tokens) == (8, 4)
+    assert (m.num_graph_stack, m.num_fusion_stack) == (2, 2)
+    assert (m.encoder_embed_dim, m.encoder_ffn_embed_dim) == (768, 768)
+    assert m.encoder_attention_heads == 12
+    assert (m.dropout, m.attention_dropout, m.act_dropout) == (0.4, 0.3, 0.3)
+    assert m.freeze_initial_encoders
+    assert m.dtype == "bfloat16"  # the --fp16 equivalent policy
+    assert (o.lr, o.end_learning_rate) == (3e-5, 3e-7)
+    assert (o.warmup_updates, o.total_num_update) == (3246, 10820)
+    assert (o.adam_eps, o.weight_decay, o.clip_norm) == (1e-8, 0.01, 0.0)
+    assert (cfg.data.batch_size, o.update_freq) == (12, 3)
+    assert cfg.max_epoch == 37
+    assert (cfg.positive_weight, cfg.negative_weight) == (1.5, 1.0)
+    assert cfg.validate_interval_updates == 300
+    # derived geometry: 9 HF layers split -> 5 fusion stacks, 6 graph stacks
+    assert m.num_fusion_stacks == 5
+    assert m.num_graph_stacks == 6
+    assert m.num_bottom_text_layers == 3
+    assert m.num_bottom_image_layers == 3
+
+
+def test_smoke_flags():
+    args = build_parser().parse_args(
+        ["--synthetic", "--tiny", "--batch-size", "4"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.task_cfg.dataset_name == "synthetic"
+    assert cfg.data.batch_size == 4
+    assert cfg.model.encoder_embed_dim == 64

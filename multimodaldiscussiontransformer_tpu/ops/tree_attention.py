@@ -34,6 +34,10 @@ MASK_BIAS = -1e9
 LUT_SIZE = 32  # >= 1 (pad) + 21 cantor buckets + 1 graph-token id
 GRAPH_TOKEN_ID = LUT_SIZE - 1  # sentinel id for the virtual-distance entry
 
+# test hook: route to the (interpret-mode) kernel even off-TPU so the
+# shard_map dispatch path is exercisable on the virtual CPU mesh
+FORCE_KERNEL = False
+
 
 def build_compact_bias_inputs(
     attn_bias_template: jnp.ndarray,  # (B, S, S) collator template, S = N+1
@@ -204,6 +208,21 @@ def _bwd(scale, double_add, res, g):
 _tree_attention.defvjp(_fwd, _bwd)
 
 
+def _dp_shard_spec():
+    """If tracing inside a multi-device mesh with a 'dp' axis, return
+    (mesh, dp_size); else None. Used to shard_map the kernel over the batch
+    axis instead of letting GSPMD replicate an unpartitionable custom call."""
+    try:
+        from jax.sharding import get_abstract_mesh
+
+        mesh = get_abstract_mesh()
+        if mesh is not None and "dp" in mesh.shape and mesh.shape["dp"] > 1:
+            return mesh, mesh.shape["dp"]
+    except Exception:
+        pass
+    return None
+
+
 def tree_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -215,9 +234,32 @@ def tree_attention(
     double_add: bool = True,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
-    """Compact-bias tree attention (Pallas on TPU, XLA elsewhere)."""
+    """Compact-bias tree attention (Pallas on TPU, XLA elsewhere).
+
+    Under a multi-device mesh the Pallas call is shard_mapped over the dp
+    axis (batch dim), so each device runs the kernel on its local shard —
+    no replication, no collectives (attention is batch-parallel)."""
     scale = q.shape[-1] ** -0.5 if scale is None else scale
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if not use_pallas or not on_tpu:
-        return tree_attention_reference(q, k, v, template, ids, lut, scale, double_add)
-    return _tree_attention(q, k, v, template, ids, lut, scale, double_add)
+    kernel_ok = use_pallas and (on_tpu or FORCE_KERNEL)
+    if kernel_ok:
+        impl = lambda *a: _tree_attention(*a, scale, double_add)  # noqa: E731
+    else:
+        impl = lambda *a: tree_attention_reference(*a, scale, double_add)  # noqa: E731
+
+    dp = _dp_shard_spec()
+    if kernel_ok and dp is not None and q.shape[0] % dp[1] == 0:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, _ = dp
+        batch_spec = P("dp")
+        fn = jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(batch_spec,) * 5 + (P(),),
+            out_specs=batch_spec,
+            # pallas_call outputs carry no varying-mesh-axis metadata
+            check_vma=False,
+        )
+        return fn(q, k, v, template, ids, lut)
+    return impl(q, k, v, template, ids, lut)

@@ -102,3 +102,34 @@ def test_tree_attention_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=3e-4, atol=2e-5
         )
+
+
+def test_shard_map_dispatch_on_mesh(monkeypatch):
+    """Under a dp mesh the kernel is shard_mapped over the batch axis; the
+    sharded result must match the single-device reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodaldiscussiontransformer_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setattr(ta, "FORCE_KERNEL", True)
+    rng = np.random.default_rng(3)
+    b, h, s, dh = 8, 2, 9, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    template = jnp.asarray(rng.standard_normal((b, s, s)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 22, (b, s, s)), jnp.int32)
+    lut = jnp.asarray(rng.standard_normal((ta.LUT_SIZE, h)), jnp.float32)
+    lut = lut.at[0].set(0.0)
+
+    ref = np.asarray(ta.tree_attention_reference(q, k, v, template, ids, lut))
+
+    mesh = make_mesh(4, 2)
+    with jax.sharding.set_mesh(mesh):
+        dp_shard = NamedSharding(mesh, P("dp"))
+        args = [jax.device_put(x, dp_shard) for x in (q, k, v, template, ids)]
+        lut_r = jax.device_put(lut, NamedSharding(mesh, P()))
+        out = jax.jit(
+            lambda *a: ta.tree_attention(*a, use_pallas=True)
+        )(*args, lut_r)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=1e-5)

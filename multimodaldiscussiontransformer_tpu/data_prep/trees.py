@@ -106,31 +106,45 @@ def count_size_of_tree(x: dict) -> int:
     return sum(count_size_of_tree(y) for y in x["tree"]) + 1
 
 
+MAX_UNLABELLED_DEPTH = 7  # unlabelled branches cut at this depth
+MIN_KEPT_CHILDREN = 2
+
+
 def trim_and_get_size(comment: dict, depth: int = 0) -> float:
-    """Recursive prune (3-prune-trees.py:16-39): labelled subtrees always
-    kept (size inf); unlabelled branches kept only to depth < 7 and only the
-    top max(2, #labelled) children by subtree size."""
-    sizes = []  # (size, index)
-    infs = 0
-    for i, child in enumerate(comment["tree"]):
+    """Prune policy (semantics of 3-prune-trees.py:16-39, pinned by
+    tests/test_data_prep.py):
+
+    - a child whose node is labelled is always kept (treated as
+      infinitely large so it survives the top-k cut), and its own subtree
+      is pruned recursively;
+    - an unlabelled child at depth < MAX_UNLABELLED_DEPTH is pruned
+      recursively and ranked by its post-prune size (labelled descendants
+      push the size to inf);
+    - an unlabelled child at the depth limit loses its whole subtree;
+    - finally only the largest max(MIN_KEPT_CHILDREN, #label-bearing
+      children) children survive.
+
+    Returns the post-prune subtree size (inf if it contains a label)."""
+    ranked = []  # (subtree size, child position)
+    label_bearing = 0
+    for pos, child in enumerate(comment["tree"]):
         if child["data"]["label"] != "NA":
             trim_and_get_size(child, depth + 1)
-            infs += 1
-            sizes += [(math.inf, i)]
+            label_bearing += 1
+            ranked.append((math.inf, pos))
+        elif depth + 1 < MAX_UNLABELLED_DEPTH:
+            size = trim_and_get_size(child, depth + 1)
+            if size == math.inf:
+                label_bearing += 1
+            ranked.append((size, pos))
         else:
-            if depth + 1 < 7:
-                res = trim_and_get_size(child, depth + 1)
-                sizes += [(res, i)]
-                if res == math.inf:
-                    infs += 1
-            else:
-                child["tree"] = []
-                sizes += [(0, i)]
-    trimmed_size = max(2, infs)
-    sizes = sorted(sizes, key=lambda x: x[0], reverse=True)[:trimmed_size]
-    new_size = sum(s[0] for s in sizes)
-    comment["tree"] = [comment["tree"][x[1]] for x in sizes]
-    return new_size + 1
+            child["tree"] = []
+            ranked.append((0, pos))
+    keep = sorted(ranked, key=lambda sp: sp[0], reverse=True)[
+        : max(MIN_KEPT_CHILDREN, label_bearing)
+    ]
+    comment["tree"] = [comment["tree"][pos] for _, pos in keep]
+    return sum(size for size, _ in keep) + 1
 
 
 def prune_file(in_path: str, out_path: str) -> int:

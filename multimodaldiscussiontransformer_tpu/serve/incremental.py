@@ -142,6 +142,43 @@ class DiscussionScorer:
             lambda p, b: self.model.apply(p, b, deterministic=True).logits
         )
 
+    @classmethod
+    def from_checkpoint(
+        cls,
+        save_dir: str,
+        model_cfg: Optional[ModelConfig] = None,
+        step: Optional[int] = None,
+        best: bool = True,
+        **kw,
+    ) -> "DiscussionScorer":
+        """Build a scorer from an Orbax training checkpoint directory.
+
+        Loads the best (default) or latest step's params. The model is
+        reconstructed from ``model_cfg`` (canonical config by default) with
+        deterministic serving settings."""
+        import jax
+        import jax.numpy as jnp
+
+        from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
+        from multimodaldiscussiontransformer_tpu.utils.checkpoints import (
+            Checkpointer,
+        )
+
+        cfg = model_cfg or ModelConfig()
+        model = MDTModel(cfg, dtype=jnp.dtype(cfg.dtype))
+        ckpt = Checkpointer(save_dir)
+        target_step = (ckpt.best_step() if best else None) or step or ckpt.latest_step()
+        if target_step is None:
+            raise FileNotFoundError(f"no checkpoints under {save_dir}")
+        # restore params-only with a free-form target (dict of arrays)
+        restored = ckpt.manager.restore(target_step)
+        params = (
+            restored["params"] if isinstance(restored, dict) and "params" in restored
+            else getattr(restored, "params", restored)
+        )
+        ckpt.close()
+        return cls(model, params, **kw)
+
     def score_items(self, items: Sequence[GraphItem]) -> List[np.ndarray]:
         """Per-node class probabilities for each discussion item."""
         import jax

@@ -229,10 +229,23 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._make_train_step()
 
+        import time
+
+        from multimodaldiscussiontransformer_tpu.train.optimizer import (
+            polynomial_decay_schedule,
+        )
+
         acc = MetricAccumulator(self.criterion.reduce_metrics)
         writer = writer or MetricsWriter(cfg.save_dir)
         num_updates = int(state.step)
         best_metric = None
+        lr_fn = polynomial_decay_schedule(
+            cfg.optim.lr, cfg.optim.end_learning_rate,
+            cfg.optim.warmup_updates, cfg.optim.total_num_update,
+            cfg.optim.power,
+        )
+        window_t0 = time.perf_counter()
+        window_graphs = 0
 
         from multimodaldiscussiontransformer_tpu.data.loader import (
             prefetch_to_device,
@@ -246,9 +259,16 @@ class Trainer:
                     state, logs = self._train_step(state, jb)
                     acc.update(logs)
                     num_updates += 1
+                    window_graphs += int(jb["idx"].shape[0])
                     if num_updates % cfg.log_interval == 0:
                         m = acc.reduce()
                         acc.reset()
+                        dt = time.perf_counter() - window_t0
+                        m["lr"] = float(lr_fn(num_updates - 1))
+                        m["ups"] = round(cfg.log_interval / dt, 3)
+                        m["discussions_per_sec"] = round(window_graphs / dt, 2)
+                        window_t0 = time.perf_counter()
+                        window_graphs = 0
                         writer.write("train", num_updates, m)
                         log_fn(f"epoch {epoch} update {num_updates}: {m}")
                     if (

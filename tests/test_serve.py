@@ -68,3 +68,48 @@ def test_image_node_scoring():
     probs = scorer.score(d)
     assert probs.shape == (2, 2)
     assert np.isfinite(probs).all()
+
+
+def test_from_checkpoint(tmp_path):
+    """Scorer restores params from an Orbax training checkpoint."""
+    import jax.numpy as jnp
+
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+    from multimodaldiscussiontransformer_tpu.utils.checkpoints import Checkpointer
+
+    cfg = tiny_model_config()
+    model = MDTModel(cfg)
+    d = Discussion()
+    d.add_node(-1, np.arange(1, 13, dtype=np.int32))
+    batch = collate([d.to_item()], spatial_pos_max=5, image_shape=IMG)
+    jb = {k: jnp.asarray(v) for k, v in batch.asdict().items()}
+    params = model.init(jax.random.PRNGKey(3), jb, deterministic=True)
+
+    class FakeState:
+        pass
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save({"params": jax.device_get(params), "step": 5}, 5, best=True)
+    ckpt.wait()
+    ckpt.close()
+
+    from multimodaldiscussiontransformer_tpu.core.config import DataConfig
+
+    scorer = DiscussionScorer.from_checkpoint(
+        str(tmp_path / "ckpt"),
+        model_cfg=cfg,
+        data_cfg=DataConfig(
+            batch_size=1, node_buckets=(8,), node_capacity_buckets=(8,),
+            image_capacity_buckets=(0,), label_capacity_buckets=(8,),
+        ),
+        image_shape=IMG,
+    )
+    probs = scorer.score(d)
+    assert probs.shape == (1, 2)
+    direct = DiscussionScorer(
+        model, params,
+        DataConfig(batch_size=1, node_buckets=(8,), node_capacity_buckets=(8,),
+                   image_capacity_buckets=(0,), label_capacity_buckets=(8,)),
+        image_shape=IMG,
+    ).score(d)
+    np.testing.assert_allclose(probs, direct, rtol=1e-5)

@@ -146,10 +146,11 @@ class ModelConfig:
     # (graphormer_layers.py:93,108). Benign (-inf+-inf / 0+0) but part of the
     # numerics contract; kept for exactness and documented here.
     double_add_attn_bias: bool = True
-    # GraphFusionLayer(use_projection=True) creates 768x768 projections that
-    # forward never applies (multi_graphormer_fusion_layer.py:22-27). We
-    # create matching (vestigial) params when True for checkpoint parity.
-    create_vestigial_projections: bool = True
+    # NOTE on vestigial reference params: GraphFusionLayer(use_projection=
+    # True) creates 768x768 projections the reference forward never applies
+    # (multi_graphormer_fusion_layer.py:22-27); like the other dead head
+    # params they are NOT created here — the checkpoint importer drops them
+    # (they receive no gradient in the reference, so round-trips are exact).
 
     # compute policy (TPU-native replacement for the reference's --fp16)
     dtype: str = "bfloat16"  # activation/compute dtype

@@ -86,10 +86,9 @@ def _import_all() -> None:
         "multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset",
         "multimodaldiscussiontransformer_tpu.data.synthetic",
     ):
-        try:
-            importlib.import_module(mod)
-        except ValueError:
-            pass  # already registered
+        # importlib caches modules, so registration decorators fire at most
+        # once; any exception here is a real bug and must propagate
+        importlib.import_module(mod)
 
 
 def populate() -> None:

@@ -27,7 +27,11 @@ class ThreadedPrefetcher:
         batches: iterator of collator ``Batch`` objects (or dicts).
         put_fn: host batch dict -> device batch (e.g. ``shard_batch(mesh, .)``).
         depth: number of batches staged ahead.
-    """
+
+    Supports early shutdown: ``close()`` (also called by the context manager
+    and by garbage collection of an abandoned iterator) unblocks and joins
+    the worker so no thread or staged device buffers leak when the consumer
+    stops mid-epoch (e.g. trainer max_updates)."""
 
     def __init__(
         self,
@@ -37,32 +41,74 @@ class ThreadedPrefetcher:
     ):
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
 
         def work():
             try:
                 for b in batches:
                     host = b.asdict() if hasattr(b, "asdict") else b
-                    self._q.put(put_fn(host))
+                    staged = put_fn(host)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(_SENTINEL)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
 
+    def close(self) -> None:
+        """Stop the worker and drop staged batches."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # last-resort cleanup for abandoned iterators
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is _SENTINEL:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is _SENTINEL:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self.close()
 
 
 def prefetch_to_device(batches, mesh, depth: int = 2):
-    """Convenience: iterate device-sharded batches with prefetching."""
+    """Convenience: iterate device-sharded batches with prefetching.
+
+    The returned object is a context-managed iterable; breaking out of the
+    loop (or an exception) shuts the worker thread down."""
     from multimodaldiscussiontransformer_tpu.parallel.mesh import shard_batch
 
-    return iter(ThreadedPrefetcher(batches, lambda h: shard_batch(mesh, h), depth))
+    return ThreadedPrefetcher(batches, lambda h: shard_batch(mesh, h), depth)

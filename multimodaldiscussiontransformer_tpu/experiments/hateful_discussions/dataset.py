@@ -74,8 +74,13 @@ def create_hatespeech_dataset(
         (lambda p: (lambda: load_graph_npz(p)))(p) for p in paths
     ]
 
-    train_file = os.path.join(root, "train-idx-many.txt")
-    test_file = os.path.join(root, "test-idx-many.txt")
+    # split-specific index files when present (the 7-fold layout produced by
+    # split-aware ingestion runs), else the reference's single pair
+    train_file = os.path.join(root, f"train-idx-many-{split}.txt")
+    test_file = os.path.join(root, f"test-idx-many-{split}.txt")
+    if not (os.path.exists(train_file) and os.path.exists(test_file)):
+        train_file = os.path.join(root, "train-idx-many.txt")
+        test_file = os.path.join(root, "test-idx-many.txt")
     if os.path.exists(train_file) and os.path.exists(test_file):
         train_idx = _read_index_file(train_file)
         test_idx = _read_index_file(test_file)

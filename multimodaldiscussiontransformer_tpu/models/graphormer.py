@@ -153,8 +153,10 @@ class BiasedMultiheadAttention(nn.Module):
     def setup(self) -> None:
         c = self.config
         d = c.encoder_embed_dim
-        # fairseq scaled xavier init for qkv (multihead_attention.py:75-89)
-        qkv_init = nn.initializers.xavier_uniform()
+        # fairseq scaled xavier init for qkv: xavier_uniform with gain
+        # 1/sqrt(2) (multihead_attention.py:75-81) — variance_scaling scale
+        # is gain^2 on the fan_avg uniform distribution
+        qkv_init = nn.initializers.variance_scaling(0.5, "fan_avg", "uniform")
         self.q_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)
         self.k_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)
         self.v_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)

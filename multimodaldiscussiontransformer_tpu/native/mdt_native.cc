@@ -60,9 +60,12 @@ int mdt_tree_distance_pairs(const int64_t* parents, int64_t n, int64_t* out) {
       const int64_t* aj = &anc[(size_t)(j * nd)];
       const int64_t dj = depth[j];
       int64_t lim = di < dj ? di : dj;
-      int64_t lca_d = 0;
+      // multi-root forests: nodes in different trees share no ancestor;
+      // lca depth -1 matches the numpy path (a virtual super-root one
+      // level above every root)
+      int64_t lca_d = -1;
       for (int64_t d = lim; d >= 0; --d) {
-        if (ai[d] == aj[d]) {
+        if (ai[d] == aj[d] && ai[d] >= 0) {
           lca_d = d;
           break;
         }

@@ -167,16 +167,17 @@ class DiscussionScorer:
         cfg = model_cfg or ModelConfig()
         model = MDTModel(cfg, dtype=jnp.dtype(cfg.dtype))
         ckpt = Checkpointer(save_dir)
-        target_step = (ckpt.best_step() if best else None) or step or ckpt.latest_step()
-        if target_step is None:
+        if step is not None:  # explicit step wins
+            restored = ckpt.restore_raw(step=step, best=False)
+        else:
+            restored = ckpt.restore_raw(best=best)
+        ckpt.close()
+        if restored is None:
             raise FileNotFoundError(f"no checkpoints under {save_dir}")
-        # restore params-only with a free-form target (dict of arrays)
-        restored = ckpt.manager.restore(target_step)
         params = (
             restored["params"] if isinstance(restored, dict) and "params" in restored
             else getattr(restored, "params", restored)
         )
-        ckpt.close()
         return cls(model, params, **kw)
 
     def score_items(self, items: Sequence[GraphItem]) -> List[np.ndarray]:

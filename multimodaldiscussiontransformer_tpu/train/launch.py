@@ -122,7 +122,30 @@ def config_from_args(args) -> "TrainConfig":
             dtype="float32",
         )
     else:
-        model = ModelConfig(
+        # resolve the registered architecture preset first (e.g.
+        # multi_graphormer_graph_only, multi_graphormer_roberta_clip), then
+        # apply the CLI geometry/regularization overrides on top — the
+        # reference's base_architecture + CLI-flag layering
+        # (multi_modal_discussion_transformer.py:290-344)
+        from multimodaldiscussiontransformer_tpu.core import registry
+        from multimodaldiscussiontransformer_tpu.core.registry import (
+            ARCHITECTURES,
+        )
+
+        registry.populate()
+        arch_fn = (
+            ARCHITECTURES.get(args.arch)
+            if args.arch in ARCHITECTURES
+            else (lambda **kw: ModelConfig(**kw) if kw else ModelConfig())
+        )
+        model = arch_fn()
+        # the reference rebuilds the HF towers with the model-level dropout
+        # flags (build_vit_bert_encoders, multigraphormer_graph_encoder.py:
+        # 233-245: hidden_dropout_prob=act_dropout,
+        # attention_probs_dropout_prob=attention_dropout)
+        import dataclasses as _dc
+
+        model = model.replace(
             num_bottleneck_tokens=args.num_bottleneck_tokens,
             num_fusion_layers=args.num_fusion_layers,
             num_fusion_stack=args.num_fusion_stack,
@@ -138,6 +161,16 @@ def config_from_args(args) -> "TrainConfig":
             dtype=args.dtype,
             text_encoder_name=args.text_encoder,
             image_encoder_name=args.image_encoder,
+            text_tower=_dc.replace(
+                model.text_tower,
+                hidden_dropout_prob=args.act_dropout,
+                attention_probs_dropout_prob=args.attention_dropout,
+            ),
+            image_tower=_dc.replace(
+                model.image_tower,
+                hidden_dropout_prob=args.act_dropout,
+                attention_probs_dropout_prob=args.attention_dropout,
+            ),
         )
     data = DataConfig(batch_size=args.batch_size)
     if args.tiny:
@@ -218,7 +251,7 @@ def main(argv=None) -> int:
         )
     else:
         img = (3, cfg.model.image_tower.image_size, cfg.model.image_tower.image_size)
-        factory_kwargs = {}
+        factory_kwargs = {"split": args.split, "seed": cfg.seed}
         if args.data_root:
             factory_kwargs["root"] = args.data_root
     dataset = task.load_dataset(**factory_kwargs)

@@ -31,7 +31,7 @@ class MetricAccumulator:
         if not self._sums:
             return {}
         out = self._reduce_fn(self._sums)
-        out["num_updates"] = self._n_steps
+        out["steps_in_window"] = self._n_steps
         return out
 
     def reset(self) -> None:

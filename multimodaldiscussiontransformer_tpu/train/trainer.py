@@ -237,7 +237,14 @@ class Trainer:
 
         acc = MetricAccumulator(self.criterion.reduce_metrics)
         writer = writer or MetricsWriter(cfg.save_dir)
-        num_updates = int(state.step)
+        # num_updates counts OPTIMIZER updates (FairSeq semantics): one
+        # update = ``update_freq`` microbatches. state.step counts
+        # microbatches (it drives MultiSteps).
+        k = max(cfg.optim.update_freq, 1)
+        micro_steps = int(state.step)
+        num_updates = micro_steps // k
+        last_logged = num_updates
+        last_validated = num_updates
         best_metric = None
         lr_fn = polynomial_decay_schedule(
             cfg.optim.lr, cfg.optim.end_learning_rate,
@@ -258,13 +265,15 @@ class Trainer:
                 ):
                     state, logs = self._train_step(state, jb)
                     acc.update(logs)
-                    num_updates += 1
+                    micro_steps += 1
+                    num_updates = micro_steps // k
                     window_graphs += int(jb["idx"].shape[0])
-                    if num_updates % cfg.log_interval == 0:
+                    if num_updates - last_logged >= cfg.log_interval:
+                        last_logged = num_updates
                         m = acc.reduce()
                         acc.reset()
                         dt = time.perf_counter() - window_t0
-                        m["lr"] = float(lr_fn(num_updates - 1))
+                        m["lr"] = float(lr_fn(max(num_updates - 1, 0)))
                         m["ups"] = round(cfg.log_interval / dt, 3)
                         m["discussions_per_sec"] = round(window_graphs / dt, 2)
                         window_t0 = time.perf_counter()
@@ -273,9 +282,10 @@ class Trainer:
                         log_fn(f"epoch {epoch} update {num_updates}: {m}")
                     if (
                         cfg.validate_interval_updates
-                        and num_updates % cfg.validate_interval_updates == 0
+                        and num_updates - last_validated >= cfg.validate_interval_updates
                         and len(dataset.valid_idx) > 0
                     ):
+                        last_validated = num_updates
                         vm = self.evaluate(state, dataset, "valid")
                         writer.write("valid", num_updates, vm)
                         log_fn(f"valid @ {num_updates}: {vm}")

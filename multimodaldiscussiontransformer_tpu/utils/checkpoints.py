@@ -64,12 +64,23 @@ class Checkpointer:
             max_to_keep=keep, create=True, enable_async_checkpointing=True
         )
         self.manager = ocp.CheckpointManager(self.save_dir, options=options)
+        # best checkpoints live in their own manager so rolling retention of
+        # the periodic saves can never garbage-collect the best step
+        self._best_dir = os.path.join(self.save_dir, "best")
+        self._best_manager = ocp.CheckpointManager(
+            self._best_dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True, enable_async_checkpointing=True
+            ),
+        )
 
     def save(self, state, step: int, best: bool = False) -> None:
-        self.manager.save(
-            step, args=self._ocp.args.StandardSave(_host_state(state))
-        )
+        host = _host_state(state)
+        self.manager.save(step, args=self._ocp.args.StandardSave(host))
         if best:
+            self._best_manager.save(
+                step, args=self._ocp.args.StandardSave(host)
+            )
             with open(os.path.join(self.save_dir, "best_step.txt"), "w") as f:
                 f.write(str(step))
 
@@ -77,28 +88,41 @@ class Checkpointer:
         return self.manager.latest_step()
 
     def best_step(self) -> Optional[int]:
-        path = os.path.join(self.save_dir, "best_step.txt")
-        if os.path.exists(path):
-            with open(path) as f:
-                return int(f.read().strip())
-        return self.latest_step()
+        best = self._best_manager.latest_step()
+        return best if best is not None else self.latest_step()
 
-    def restore(self, state, step: Optional[int] = None):
-        """Restore into the structure of ``state`` (auto-latest by default)."""
-        step = step if step is not None else self.latest_step()
+    def restore(self, state, step: Optional[int] = None, best: bool = False):
+        """Restore into the structure of ``state``; auto-latest by default,
+        ``best=True`` reads from the best-checkpoint store."""
+        manager = self._best_manager if best else self.manager
+        step = step if step is not None else manager.latest_step()
         if step is None:
+            if best:  # fall back to the rolling store
+                return self.restore(state, None, False)
             return None
         target = jax.tree.map(np.asarray, _host_state(state))
-        restored = self.manager.restore(
+        return manager.restore(
             step, args=self._ocp.args.StandardRestore(target)
         )
-        return restored
+
+    def restore_raw(self, step: Optional[int] = None, best: bool = False):
+        """Structure-free restore (dict of arrays) for serving."""
+        manager = self._best_manager if best else self.manager
+        step = step if step is not None else manager.latest_step()
+        if step is None and best:
+            manager = self.manager
+            step = manager.latest_step()
+        if step is None:
+            return None
+        return manager.restore(step)
 
     def wait(self) -> None:
         self.manager.wait_until_finished()
+        self._best_manager.wait_until_finished()
 
     def close(self) -> None:
         self.manager.close()
+        self._best_manager.close()
 
 
 def _host_state(state) -> Any:

@@ -161,3 +161,23 @@ def test_edges_to_parents_roundtrip():
     np.testing.assert_array_equal(
         tree_distance_pairs(got), tree_distance_pairs(parents)
     )
+
+
+def test_forest_native_matches_numpy():
+    """Multi-root forests: native and numpy paths must agree (cross-tree
+    pairs route through a virtual super-root)."""
+    from multimodaldiscussiontransformer_tpu.data.trees import (
+        _tree_distance_pairs_numpy,
+        tree_distance_pairs,
+    )
+    from multimodaldiscussiontransformer_tpu.native import loader
+
+    parents = np.asarray([-1, 0, 1, -1, 3], dtype=np.int64)  # two roots
+    want = _tree_distance_pairs_numpy(parents)
+    got = tree_distance_pairs(parents)  # native when built
+    np.testing.assert_array_equal(got, want)
+    if loader.try_load() is not None:
+        native = loader.tree_distance_pairs(loader.try_load(), parents)
+        np.testing.assert_array_equal(native, want)
+    # cross-tree pair (node 2 depth 2, node 4 depth 1): up 3, down 2
+    np.testing.assert_array_equal(want[2, 4], [3, 2])

@@ -37,6 +37,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from multimodaldiscussiontransformer_tpu.core.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from multimodaldiscussiontransformer_tpu.core.config import (
         DataConfig,
         OptimConfig,

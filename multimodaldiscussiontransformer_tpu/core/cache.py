@@ -1,0 +1,28 @@
+"""Persistent XLA compilation cache.
+
+TPU compiles of the full model take minutes (especially through tunneled
+single-chip setups); enabling jax's persistent compilation cache makes every
+re-run of an already-seen program shape start instantly. Called by the
+training CLI and bench entry points; safe to call multiple times."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    try:
+        import jax
+
+        cache_dir = path or os.environ.get(
+            "MDT_JAX_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "mdt_jax_cache"
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache_dir
+    except Exception:
+        return None

@@ -226,6 +226,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    from multimodaldiscussiontransformer_tpu.core.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from multimodaldiscussiontransformer_tpu.core import registry
     from multimodaldiscussiontransformer_tpu.core.registry import TASKS
     from multimodaldiscussiontransformer_tpu.train.metrics import MetricsWriter

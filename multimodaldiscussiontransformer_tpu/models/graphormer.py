@@ -189,6 +189,7 @@ class BiasedMultiheadAttention(nn.Module):
             from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
 
             template, ids, lut = attn_bias
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
             if deterministic or c.attention_dropout == 0.0:
                 ctx = ta.tree_attention(
                     q.transpose(0, 2, 1, 3),
@@ -197,11 +198,27 @@ class BiasedMultiheadAttention(nn.Module):
                     template, ids, lut,
                     scale=scaling,
                     double_add=c.double_add_attn_bias,
-                    use_pallas=use_fused,
+                    use_pallas=c.use_pallas_attention,
                 ).transpose(0, 2, 1, 3).reshape(b, s, d)
                 return self.out_proj(ctx)
-            # attention dropout active: assemble the full bias and take the
-            # standard path so probs can be dropped out
+            if c.use_pallas_attention and on_tpu:
+                # training with attention dropout: in-kernel PRNG mask,
+                # regenerated (not stored) in the Pallas backward
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, jnp.int32
+                )
+                ctx = ta.tree_attention_dropout_dispatch(
+                    q.transpose(0, 2, 1, 3),
+                    k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3),
+                    template, ids, lut, seed,
+                    rate=c.attention_dropout,
+                    scale=scaling,
+                    double_add=c.double_add_attn_bias,
+                ).transpose(0, 2, 1, 3).reshape(b, s, d)
+                return self.out_proj(ctx)
+            # off-TPU fallback: assemble the full bias and take the standard
+            # path so probs can be dropped out by the flax Dropout
             attn_bias = ta._assemble_bias_xla(
                 template, ids, lut, c.double_add_attn_bias
             ).astype(x.dtype)

@@ -208,6 +208,296 @@ def _bwd(scale, double_add, res, g):
 _tree_attention.defvjp(_fwd, _bwd)
 
 
+# ---------------------------------------------------------------------------
+# training-path variant: in-kernel attention dropout
+#
+# The reference drops out the normalized attention probabilities during
+# training (FairseqDropout on attn_weights, multihead_attention.py:196).
+# Supporting that inside the fused kernel needs the SAME mask in forward and
+# backward; both kernels regenerate it from a per-call seed + the (b, h)
+# grid position via the TPU PRNG, so the mask is never stored.
+# ---------------------------------------------------------------------------
+
+
+def _keep_mask(seed_scalar, b, h, num_h, shape, rate):
+    """Deterministic per-(b,h) dropout keep-mask from the TPU PRNG."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_scalar + b * num_h + h)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return bits >= threshold
+
+
+def _make_dropout_fwd_kernel(scale, double_add, num_heads, rate):
+    from jax.experimental import pallas as pl
+
+    def kernel(lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref):
+        b = pl.program_id(0)
+        head = pl.program_id(1)
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[0].astype(jnp.float32), MASK_BIAS)
+        ids = ids_ref[0]
+        spatial = jnp.zeros(ids.shape, jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(ids == kk, lut_ref[head, kk], 0.0)
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            + (2.0 if double_add else 1.0) * tpl
+            + spatial
+        )
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), MASK_BIAS)
+        p = jnp.exp(scores - m)
+        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        keep = _keep_mask(seed_ref[0], b, head, num_heads, p.shape, rate)
+        p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        acc = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out_ref[0, 0] = (acc / denom).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_dropout_bwd_kernel(scale, double_add, num_heads, rate):
+    from jax.experimental import pallas as pl
+
+    def kernel(
+        lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref,
+        dq_ref, dk_ref, dv_ref, dlut_ref,
+    ):
+        head = pl.program_id(0)  # grid (H, B): b inner for dlut accumulation
+        b = pl.program_id(1)
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        g = g_ref[0, 0].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[0].astype(jnp.float32), MASK_BIAS)
+        ids = ids_ref[0]
+        spatial = jnp.zeros(ids.shape, jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(ids == kk, lut_ref[head, kk], 0.0)
+        scores = (
+            jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + (2.0 if double_add else 1.0) * tpl
+            + spatial
+        )
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), MASK_BIAS)
+        e = jnp.exp(scores - m)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        p_norm = e / denom
+        keep = _keep_mask(seed_ref[0], b, head, num_heads, p_norm.shape, rate)
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p_norm, 0.0) * inv  # dropped normalized probs
+
+        dv_ref[0, 0] = jax.lax.dot_general(
+            pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        dpd = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp_norm = jnp.where(keep, dpd, 0.0) * inv
+        ds = p_norm * (
+            dp_norm - jnp.sum(dp_norm * p_norm, axis=-1, keepdims=True)
+        )
+        dq_ref[0, 0] = (
+            jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, 0] = (
+            jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        ).astype(dk_ref.dtype)
+
+        # d_lut segment-sum, accumulated across the (inner) b grid dim into a
+        # tile-aligned (8, 128) page per head; built as a sum of one-hot
+        # rows (no 1D scatters on TPU)
+        @pl.when(b == 0)
+        def _():
+            dlut_ref[0] = jnp.zeros_like(dlut_ref[0])
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0
+        vec = jnp.zeros((8, 128), jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            contrib = jnp.sum(jnp.where(ids == kk, ds, 0.0))
+            vec = vec + jnp.where(rowsel & (col == kk), contrib, 0.0)
+        dlut_ref[0] = dlut_ref[0] + vec
+
+    return kernel
+
+
+def _dropout_forward(q, k, v, template, ids, lut, seed, rate, scale, double_add):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, h, s, dh = q.shape
+    s_pad = -(-s // 8) * 8
+    if s_pad != s:
+        pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
+        template = jnp.pad(
+            template, [(0, 0), (0, s_pad - s), (0, s_pad - s)],
+            constant_values=MASK_BIAS,
+        )
+        ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+
+    def qkv_map(b, hh):
+        return (b, hh, 0, 0)
+
+    def shared_map(b, hh):
+        return (b, 0, 0)
+
+    out = pl.pallas_call(
+        _make_dropout_fwd_kernel(scale, double_add, h, rate),
+        grid=(bsz, h),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lut (H, LUT_SIZE)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, s_pad), shared_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, s_pad), shared_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, s_pad, dh), q.dtype),
+    )(jnp.asarray(lut.T), seed.reshape(1), q, k, v, template, ids)
+    return out[:, :, :s, :] if s_pad != s else out
+
+
+def _dropout_backward(q, k, v, template, ids, lut, seed, g, rate, scale, double_add):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, h, s, dh = q.shape
+    s_pad = -(-s // 8) * 8
+    if s_pad != s:
+        pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v, g = (jnp.pad(x, pad4) for x in (q, k, v, g))
+        template = jnp.pad(
+            template, [(0, 0), (0, s_pad - s), (0, s_pad - s)],
+            constant_values=MASK_BIAS,
+        )
+        ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+
+    # grid (H, B): b inner so each head's dlut row accumulates in-place
+    def qkv_map(hh, b):
+        return (b, hh, 0, 0)
+
+    def shared_map(hh, b):
+        return (b, 0, 0)
+
+    def dlut_map(hh, b):
+        return (hh, 0, 0)
+
+    dq, dk, dv, dlut_t = pl.pallas_call(
+        _make_dropout_bwd_kernel(scale, double_add, h, rate),
+        grid=(h, bsz),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, s_pad), shared_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, s_pad), shared_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s_pad, dh), qkv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), dlut_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, s_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((bsz, h, s_pad, dh), k.dtype),
+            jax.ShapeDtypeStruct((bsz, h, s_pad, dh), v.dtype),
+            jax.ShapeDtypeStruct((h, 8, 128), jnp.float32),
+        ],
+    )(jnp.asarray(lut.T), seed.reshape(1), q, k, v, template, ids, g)
+    if s_pad != s:
+        dq, dk, dv = (x[:, :, :s, :] for x in (dq, dk, dv))
+    dlut = dlut_t[:, 0, :LUT_SIZE].T.astype(lut.dtype)
+    dlut = dlut.at[0].set(0.0)  # padding entry: no gradient
+    return dq, dk, dv, dlut
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def tree_attention_dropout(q, k, v, template, ids, lut, seed, rate, scale, double_add):
+    """Fused tree attention WITH in-kernel attention dropout (training path).
+
+    ``seed``: int32 scalar array; the dropout mask is a pure function of
+    (seed, batch, head) — same seed reproduces the step exactly, and the
+    backward regenerates the mask instead of storing it."""
+    return _dropout_forward(q, k, v, template, ids, lut, seed, rate, scale, double_add)
+
+
+def _drop_fwd(q, k, v, template, ids, lut, seed, rate, scale, double_add):
+    out = tree_attention_dropout(
+        q, k, v, template, ids, lut, seed, rate, scale, double_add
+    )
+    return out, (q, k, v, template, ids, lut, seed)
+
+
+def _drop_bwd(rate, scale, double_add, res, g):
+    q, k, v, template, ids, lut, seed = res
+    dq, dk, dv, dlut = _dropout_backward(
+        q, k, v, template, ids, lut, seed, g, rate, scale, double_add
+    )
+    return dq, dk, dv, None, None, dlut, None
+
+
+tree_attention_dropout.defvjp(_drop_fwd, _drop_bwd)
+
+
+def tree_attention_dropout_dispatch(
+    q, k, v, template, ids, lut, seed, rate, scale=None, double_add=True
+):
+    """Training-path dispatch for the dropout kernel: shard_maps over a dp
+    mesh like ``tree_attention`` (masks are a function of seed + LOCAL
+    (batch, head) position, identical in fwd/bwd per shard). Only valid on
+    TPU backends — callers fall back to the XLA path elsewhere."""
+    scale = q.shape[-1] ** -0.5 if scale is None else scale
+    impl = lambda q_, k_, v_, t_, i_, l_, s_: tree_attention_dropout(  # noqa: E731
+        q_, k_, v_, t_, i_, l_, s_, rate, scale, double_add
+    )
+    dp = _dp_shard_spec()
+    if dp is not None and q.shape[0] % dp[1] == 0:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, _ = dp
+        fn = jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(P("dp"),) * 5 + (P(), P()),
+            out_specs=P("dp"),
+            check_vma=False,
+        )
+        return fn(q, k, v, template, ids, lut, seed)
+    return impl(q, k, v, template, ids, lut, seed)
+
+
 def _dp_shard_spec():
     """If tracing inside a multi-device mesh with a 'dp' axis, return
     (mesh, dp_size); else None. Used to shard_map the kernel over the batch

@@ -1,0 +1,131 @@
+"""In-kernel attention dropout: determinism, rate-0 equivalence, dropout
+statistics, and a finite-difference gradient check of the Pallas backward
+(the mask is regenerated, never stored — fwd/bwd must agree bit-for-bit).
+
+The TPU PRNG primitives have no CPU interpret-mode lowering, so these
+tests only run on a real TPU backend (tools/tpu_dropout_check.py drives them
+there); under the CPU test mesh they are skipped."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="pltpu.prng_* not available in CPU interpret mode",
+)
+
+
+def make_inputs(seed=0, b=2, h=2, s=8, dh=8):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    template = jnp.asarray(rng.standard_normal((b, s, s)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 22, (b, s, s)), jnp.int32)
+    lut = jnp.asarray(rng.standard_normal((ta.LUT_SIZE, h)), jnp.float32)
+    lut = lut.at[0].set(0.0)
+    return q, k, v, template, ids, lut
+
+
+def test_rate_zero_matches_plain_kernel():
+    q, k, v, template, ids, lut = make_inputs()
+    scale = q.shape[-1] ** -0.5
+    seed = jnp.asarray([7], jnp.int32)
+    dropped = ta.tree_attention_dropout(
+        q, k, v, template, ids, lut, seed, 0.0, scale, True
+    )
+    plain = ta._tree_attention(q, k, v, template, ids, lut, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(dropped), np.asarray(plain), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_determinism_and_seed_sensitivity():
+    q, k, v, template, ids, lut = make_inputs(1)
+    scale = q.shape[-1] ** -0.5
+    s7 = jnp.asarray([7], jnp.int32)
+    s8 = jnp.asarray([8], jnp.int32)
+    a1 = np.asarray(ta.tree_attention_dropout(q, k, v, template, ids, lut, s7, 0.3, scale, True))
+    a2 = np.asarray(ta.tree_attention_dropout(q, k, v, template, ids, lut, s7, 0.3, scale, True))
+    b1 = np.asarray(ta.tree_attention_dropout(q, k, v, template, ids, lut, s8, 0.3, scale, True))
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.allclose(a1, b1)
+
+
+def test_dropout_statistics():
+    """With uniform probs and identity-ish values, the kept fraction should
+    approximate 1 - rate and the mean should be roughly preserved."""
+    b, h, s, dh = 1, 1, 64, 8
+    q = jnp.zeros((b, h, s, dh), jnp.float32)  # uniform attention
+    k = jnp.zeros((b, h, s, dh), jnp.float32)
+    v = jnp.ones((b, h, s, dh), jnp.float32)
+    template = jnp.zeros((b, s, s), jnp.float32)
+    ids = jnp.zeros((b, s, s), jnp.int32)
+    lut = jnp.zeros((ta.LUT_SIZE, h), jnp.float32)
+    rate = 0.3
+    out = np.asarray(
+        ta.tree_attention_dropout(
+            q, k, v, template, ids, lut, jnp.asarray([3], jnp.int32),
+            rate, dh**-0.5, True,
+        )
+    )
+    # each output element = (kept fraction over the row) / (1 - rate);
+    # E[out] = 1, noise ~ 1/sqrt(S)
+    assert abs(out.mean() - 1.0) < 0.1
+    assert out.std() > 0.01  # dropout actually happened
+
+
+def test_backward_matches_mask_oracle():
+    """Pallas backward vs jax autodiff of a pure-XLA replica driven by the
+    kernel's ACTUAL dropout mask.
+
+    The mask is extracted exactly: with q=k=0, zero bias and v=I the fused
+    output is M/(S*(1-rate)), so rounding recovers the keep-mask the
+    fwd/bwd kernels regenerate from the seed. (Finite differences are not
+    usable here — the default-precision MXU's bf16 evaluation noise exceeds
+    usable fd step sizes.)"""
+    b, h, s, dh = 1, 2, 8, 8  # dh == s for the identity extraction
+    q, k, v, template, ids, lut = make_inputs(2, b=b, h=h, s=s, dh=dh)
+    scale = dh**-0.5
+    seed = jnp.asarray([11], jnp.int32)
+    rate = 0.25
+    rng = np.random.default_rng(0)
+    weights = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+
+    # extract the actual keep-mask
+    qz = jnp.zeros((b, h, s, dh))
+    eye = jnp.broadcast_to(jnp.eye(s, dtype=jnp.float32), (b, h, s, s))
+    probe = ta.tree_attention_dropout(
+        qz, qz, eye, jnp.zeros((b, s, s)), jnp.zeros((b, s, s), jnp.int32),
+        jnp.zeros((ta.LUT_SIZE, h)), seed, rate, scale, True,
+    )
+    mask = jnp.asarray(np.round(np.asarray(probe) * s * (1 - rate)) > 0.5)
+
+    def f_oracle(q_, k_, v_, lut_):
+        bias = ta._assemble_bias_xla(template, ids, lut_, True)
+        scores = (
+            jnp.einsum("bhqd,bhkd->bhqk", q_.astype(jnp.float32) * scale, k_)
+            + bias
+        )
+        p = jax.nn.softmax(scores, axis=-1)
+        pd = jnp.where(mask, p, 0.0) / (1 - rate)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", pd, v_) * weights)
+
+    def f_fused(q_, k_, v_, lut_):
+        return jnp.sum(
+            ta.tree_attention_dropout(
+                q_, k_, v_, template, ids, lut_, seed, rate, scale, True
+            )
+            * weights
+        )
+
+    g_oracle = jax.grad(f_oracle, argnums=(0, 1, 2, 3))(q, k, v, lut)
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3))(q, k, v, lut)
+    for name, a, b_ in zip(("dq", "dk", "dv", "dlut"), g_oracle, g_fused):
+        scale_ref = max(float(jnp.abs(a).max()), 1.0)
+        err = float(jnp.abs(a - b_).max())
+        assert err < 2e-2 * scale_ref, f"{name}: err {err} scale {scale_ref}"

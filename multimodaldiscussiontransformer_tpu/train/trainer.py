@@ -46,10 +46,11 @@ from multimodaldiscussiontransformer_tpu.train.optimizer import make_optimizer
 
 
 class TrainState(struct.PyTreeNode):
-    step: jax.Array
+    step: jax.Array  # microbatch counter (drives MultiSteps)
     params: Any
     opt_state: Any
     rng: jax.Array
+    epoch: jax.Array = struct.field(default_factory=lambda: jnp.asarray(0, jnp.int32))
 
 
 class Trainer:
@@ -115,6 +116,7 @@ class Trainer:
             params=params,
             opt_state=opt_state,
             rng=state_rng,
+            epoch=jnp.asarray(0, jnp.int32),
         )
 
     def load_params(self, state: TrainState, params: Any) -> TrainState:
@@ -258,8 +260,10 @@ class Trainer:
             prefetch_to_device,
         )
 
+        start_epoch = int(jax.device_get(state.epoch)) + 1
         with self.mesh:
-            for epoch in range(1, max_epoch + 1):
+            for epoch in range(start_epoch, max_epoch + 1):
+                state = state.replace(epoch=jnp.asarray(epoch - 1, jnp.int32))
                 for jb in prefetch_to_device(
                     self.train_batches(dataset, epoch), self.mesh
                 ):
@@ -303,6 +307,7 @@ class Trainer:
                         if checkpointer is not None:
                             checkpointer.save(state, num_updates)
                         return state
+                state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
                 if checkpointer is not None:
                     checkpointer.save(state, num_updates)
         return state

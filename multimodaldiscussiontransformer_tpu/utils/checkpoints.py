@@ -145,9 +145,16 @@ def restore_params_into_state(trainer, state, restored, reset_optimizer: bool):
         return trainer.load_params(state, _get(restored, "params"))
     import jax.numpy as jnp
 
-    return state.replace(
+    state = state.replace(
         step=jnp.asarray(_get(restored, "step"), jnp.int32),
         params=_get(restored, "params"),
         opt_state=_get(restored, "opt_state"),
         rng=jnp.asarray(_get(restored, "rng")),
     )
+    try:  # older checkpoints may predate the epoch field
+        state = state.replace(
+            epoch=jnp.asarray(_get(restored, "epoch"), jnp.int32)
+        )
+    except (KeyError, AttributeError, TypeError):
+        pass
+    return state

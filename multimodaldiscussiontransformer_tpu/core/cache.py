@@ -24,5 +24,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return cache_dir
-    except Exception:
+    except OSError as e:
+        import sys
+
+        print(
+            f"warning: compilation cache disabled ({e}); compiles will not "
+            "persist across runs",
+            file=sys.stderr,
+        )
         return None

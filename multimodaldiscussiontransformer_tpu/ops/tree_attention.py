@@ -487,8 +487,18 @@ def tree_attention_dropout_dispatch(
         from jax.sharding import PartitionSpec as P
 
         mesh, _ = dp
+
+        def sharded(q_, k_, v_, t_, i_, l_, s_):
+            # decorrelate masks across dp shards: the replicated seed plus a
+            # shard-unique offset (masks are per-(seed, local b, h), so
+            # without this every shard would reuse the same mask set)
+            s_ = s_ + jax.lax.axis_index("dp").astype(jnp.int32) * jnp.int32(
+                1000003  # large odd stride, int32-safe
+            )
+            return impl(q_, k_, v_, t_, i_, l_, s_)
+
         fn = jax.shard_map(
-            impl,
+            sharded,
             mesh=mesh,
             in_specs=(P("dp"),) * 5 + (P(), P()),
             out_specs=P("dp"),

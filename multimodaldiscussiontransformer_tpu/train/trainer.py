@@ -261,12 +261,28 @@ class Trainer:
         )
 
         start_epoch = int(jax.device_get(state.epoch)) + 1
+        # mid-epoch resume: with deterministic per-epoch shuffling, skipping
+        # the microbatches already consumed this epoch replays nothing and
+        # keeps the lr schedule aligned with a non-preempted run
+        bpe = (
+            len(dataset.train_idx) // max(cfg.data.batch_size, 1)
+            if cfg.data.drop_last
+            else 0
+        )
+        skip_batches = 0
+        if bpe > 0:
+            consumed = micro_steps - (start_epoch - 1) * bpe
+            if 0 < consumed < bpe:
+                skip_batches = consumed
         with self.mesh:
             for epoch in range(start_epoch, max_epoch + 1):
-                state = state.replace(epoch=jnp.asarray(epoch - 1, jnp.int32))
+                batch_index = -1
                 for jb in prefetch_to_device(
                     self.train_batches(dataset, epoch), self.mesh
                 ):
+                    batch_index += 1
+                    if epoch == start_epoch and batch_index < skip_batches:
+                        continue
                     state, logs = self._train_step(state, jb)
                     acc.update(logs)
                     micro_steps += 1

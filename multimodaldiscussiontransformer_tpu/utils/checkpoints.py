@@ -101,9 +101,15 @@ class Checkpointer:
                 return self.restore(state, None, False)
             return None
         target = jax.tree.map(np.asarray, _host_state(state))
-        return manager.restore(
-            step, args=self._ocp.args.StandardRestore(target)
-        )
+        try:
+            return manager.restore(
+                step, args=self._ocp.args.StandardRestore(target)
+            )
+        except ValueError:
+            # structure drift (e.g. checkpoints from before TrainState grew
+            # a field): fall back to a structure-free restore; the caller's
+            # field accessors handle missing keys
+            return manager.restore(step)
 
     def restore_raw(self, step: Optional[int] = None, best: bool = False):
         """Structure-free restore (dict of arrays) for serving."""

@@ -98,8 +98,9 @@ def import_reference_checkpoint(
     import jax
 
     sd = checkpoint.get("model", checkpoint) if isinstance(checkpoint, dict) else checkpoint
-    sd = {k: v for k, v in sd.items()}
-    sd = upgrade_legacy_qkv(sd)
+    sd = upgrade_legacy_qkv(dict(sd))
+    # convert once; everything below reads numpy
+    sd = {k: _np(v) for k, v in sd.items()}
     ge_ref = f"{prefix}graph_encoder"
 
     # rebuild container spine so the input tree is untouched
@@ -110,39 +111,33 @@ def import_reference_checkpoint(
     # HF towers (truncated inside the reference model, so layer indices are
     # already bottom-relative)
     ge["text_model"]["embeddings"] = hfi.bert_embeddings_params(
-        {k: _np(v) for k, v in sd.items() if k.startswith(f"{ge_ref}.text_model.embeddings")},
-        f"{ge_ref}.text_model.embeddings",
+        sd, f"{ge_ref}.text_model.embeddings"
     )
     for i in range(cfg.num_bottom_text_layers):
         ge["text_model"][f"layer_{i}"] = hfi.bert_layer_params(
-            {k: _np(v) for k, v in sd.items()}, f"{ge_ref}.text_model.encoder.layer.{i}"
+            sd, f"{ge_ref}.text_model.encoder.layer.{i}"
         )
     if cfg.use_image_tower:
-        all_np = {k: _np(v) for k, v in sd.items()}
         ge["vit_model"]["embeddings"] = hfi.vit_embeddings_params(
-            all_np, f"{ge_ref}.vit_model.embeddings"
+            sd, f"{ge_ref}.vit_model.embeddings"
         )
         for i in range(cfg.num_bottom_image_layers):
             ge["vit_model"][f"layer_{i}"] = hfi.vit_layer_params(
-                all_np, f"{ge_ref}.vit_model.encoder.layer.{i}"
+                sd, f"{ge_ref}.vit_model.encoder.layer.{i}"
             )
         ge["vit_model"]["layernorm"] = _layernorm(sd, f"{ge_ref}.vit_model.layernorm")
 
-    # fusion stacks
-    all_np = {k: _np(v) for k, v in sd.items()}
-    n_stacks = cfg.num_fusion_stacks
-    sizes = []
-    total = cfg.num_fusion_layers + 1
-    while total > 0:
-        sizes.append(min(cfg.num_fusion_stack, total))
-        total -= sizes[-1]
+    # fusion stacks (same grouping as the model build, models/mdt.py)
+    from multimodaldiscussiontransformer_tpu.models.mdt import _stack_sizes
+
+    sizes = _stack_sizes(cfg.num_fusion_layers + 1, cfg.num_fusion_stack)
     for i, sz in enumerate(sizes):
         for j in range(sz):
             fp = f"{ge_ref}.fusion_layers.{i}.fusion_layers.{j}"
             dst = ge[f"fusion_stack_{i}"][f"fusion_{j}"]
-            dst["bert_encoder"] = hfi.bert_layer_params(all_np, f"{fp}.bert_encoder")
+            dst["bert_encoder"] = hfi.bert_layer_params(sd, f"{fp}.bert_encoder")
             if cfg.use_image_tower:
-                dst["vit_encoder"] = hfi.vit_layer_params(all_np, f"{fp}.vit_encoder")
+                dst["vit_encoder"] = hfi.vit_layer_params(sd, f"{fp}.vit_encoder")
 
     # graph stacks (the dead second-to-last stack has no destination here —
     # it receives no gradient in the reference, SURVEY.md §7)
@@ -247,12 +242,10 @@ def export_reference_state_dict(
             put_vit(f"{ge_ref}.vit_model.encoder.layer.{i}", ge["vit_model"][f"layer_{i}"])
         put_ln(f"{ge_ref}.vit_model.layernorm", ge["vit_model"]["layernorm"])
 
-    # fusion stacks
-    sizes = []
-    total = cfg.num_fusion_layers + 1
-    while total > 0:
-        sizes.append(min(cfg.num_fusion_stack, total))
-        total -= sizes[-1]
+    # fusion stacks (same grouping as the model build)
+    from multimodaldiscussiontransformer_tpu.models.mdt import _stack_sizes
+
+    sizes = _stack_sizes(cfg.num_fusion_layers + 1, cfg.num_fusion_stack)
     for i, sz in enumerate(sizes):
         for j in range(sz):
             src = p["graph_encoder"][f"fusion_stack_{i}"][f"fusion_{j}"]

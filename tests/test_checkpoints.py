@@ -114,3 +114,54 @@ def test_head_reset_transform(tmp_path):
         get(params, ("params", "text_pooler", "dense", "kernel")),
         get(new, ("params", "text_pooler", "dense", "kernel")),
     )
+
+
+def test_restore_checkpoint_missing_new_fields(tmp_path):
+    """Checkpoints saved before TrainState grew a field must still restore
+    (structure-free fallback + field-level defaults)."""
+    trainer = make_trainer(tmp_path)
+    ds = synthetic_dataset(num_graphs=8, seed=5, **SYN)
+    batch = next(iter(trainer.train_batches(ds, epoch=1)))
+    state = trainer.init_state(batch.asdict())
+
+    # simulate an old checkpoint: save a dict WITHOUT the epoch field
+    old_style = {
+        "step": np.asarray(3, np.int32),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+        "rng": np.asarray(jax.device_get(state.rng)),
+    }
+    ckpt = Checkpointer(str(tmp_path / "old"))
+    ckpt.save(old_style, 3)
+    ckpt.wait()
+    restored = ckpt.restore(state)  # structure mismatch -> raw fallback
+    resumed = restore_params_into_state(trainer, state, restored, False)
+    assert int(resumed.step) == 3
+    assert int(resumed.epoch) == 0  # default preserved
+    ckpt.close()
+
+
+def test_mid_epoch_resume_skips_consumed_batches(tmp_path):
+    """Resuming mid-epoch must not replay already-trained batches."""
+    trainer = make_trainer(tmp_path)
+    ds = synthetic_dataset(num_graphs=16, seed=6, **SYN)  # 12 train -> 3 bpe
+    batches = list(trainer.train_batches(ds, epoch=1))
+    bpe = len(batches)
+    assert bpe >= 2
+    state = trainer.init_state(batches[0].asdict())
+
+    # simulate: 1 microbatch consumed in epoch 1 (epoch field still 0)
+    state = state.replace(step=jnp.asarray(1, jnp.int32))
+    seen = []
+    orig_step = trainer._make_train_step()
+
+    def counting_step(st, jb):
+        seen.append(int(np.asarray(jb["idx"])[0]))
+        return orig_step(st, jb)
+
+    trainer._train_step = counting_step
+    trainer.fit(ds, state=state, max_epoch=1)
+    # the first batch of epoch 1 (already consumed) must be skipped
+    first_epoch_batches = [int(b.idx[0]) for b in trainer.train_batches(ds, 1)]
+    assert seen[0] != first_epoch_batches[0]
+    assert len(seen) == bpe - 1

@@ -285,6 +285,10 @@ class DataConfig:
     # to the batch's longest attended token (numerics-identical; the text
     # tower is the FLOP-dominant component)
     text_len_buckets: Tuple[int, ...] = (32, 64, 100)
+    # group similar-length discussions into the same batch (fairseq-style
+    # noisy length sort) so the text-length buckets actually bind; changes
+    # batch composition (not per-example numerics), off by default
+    length_grouped: bool = False
     # per-graph node-count buckets (graphs padded up to the nearest)
     node_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
     # total real-node capacity buckets for the flattened text tower

@@ -41,6 +41,21 @@ class DiscussionDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def text_length(self, i: int) -> int:
+        """Max attended token length across the graph's nodes (cached —
+        used by length-grouped batching so similar-length discussions share
+        a batch and the collator's text-length bucket stays small)."""
+        cache = self.__dict__.setdefault("_len_cache", {})
+        if i not in cache:
+            it = self.get(i)
+            am = it.attention_mask
+            cache[i] = (
+                int(np.max(np.where(am.any(axis=0))[0], initial=0)) + 1
+                if am.any()
+                else 1
+            )
+        return cache[i]
+
     @classmethod
     def from_splits(
         cls,
@@ -97,6 +112,18 @@ def iterate_batches(
         order = order[epoch_permutation(len(order), task_cfg.seed, epoch)]
     bs = data_cfg.batch_size
     drop = data_cfg.drop_last if drop_last is None else drop_last
+    if shuffle and getattr(data_cfg, "length_grouped", False):
+        # fairseq-style length grouping: sort the (already epoch-shuffled)
+        # order by text length so each batch holds similar-length
+        # discussions — the collator's per-batch text bucket then shrinks —
+        # and shuffle the BATCH order with the same epoch seed so the data
+        # order still varies per epoch
+        lengths = np.asarray([dataset.text_length(int(i)) for i in order])
+        order = order[np.argsort(lengths, kind="stable")]
+        n_chunks = len(order) // bs
+        chunk_perm = epoch_permutation(n_chunks, task_cfg.seed + 1, epoch)
+        head = order[: n_chunks * bs].reshape(n_chunks, bs)[chunk_perm]
+        order = np.concatenate([head.reshape(-1), order[n_chunks * bs :]])
     n_full = len(order) // bs
     end = n_full * bs if drop else len(order)
     for s in range(0, end, bs):

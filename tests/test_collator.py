@@ -176,3 +176,58 @@ def test_shard_multiple():
     assert batch.node_capacity % 8 == 0
     assert batch.images.shape[0] % 8 == 0
     assert batch.y.shape[0] % 8 == 0
+
+
+def test_length_grouped_batching():
+    """Length grouping: every index appears exactly once per epoch, batches
+    hold similar-length items, and the average text bucket shrinks."""
+    import dataclasses
+
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        DataConfig,
+        TaskConfig,
+    )
+    from multimodaldiscussiontransformer_tpu.data.dataset import (
+        DiscussionDataset,
+        iterate_batches,
+    )
+    from multimodaldiscussiontransformer_tpu.data.synthetic import (
+        synthetic_batch_items,
+    )
+
+    items = synthetic_batch_items(
+        32, seed=0, seq_len=64, vocab_size=128, image_shape=(3, 32, 32),
+        min_nodes=3, max_nodes=6,
+    )
+    # force a wide length spread: half short, half long
+    for i, it in enumerate(items):
+        cut = 8 if i % 2 == 0 else 64
+        it.attention_mask[:, cut:] = 0
+        it.input_ids[:, cut:] = 0
+    ds = DiscussionDataset.from_splits(items, seed=0)
+
+    def run(grouped):
+        cfg = DataConfig(
+            batch_size=4,
+            node_buckets=(8,),
+            node_capacity_buckets=(32,),
+            image_capacity_buckets=(0, 8, 16, 32),
+            label_capacity_buckets=(32,),
+            text_len_buckets=(8, 16, 32, 64),
+            length_grouped=grouped,
+        )
+        batches = list(
+            iterate_batches(
+                ds, np.arange(32), cfg, TaskConfig(seed=0), epoch=1,
+                shuffle=True, image_shape=(3, 32, 32),
+            )
+        )
+        seen = np.concatenate([b.idx for b in batches])
+        assert sorted(seen.tolist()) == list(range(32))
+        return np.mean([b.input_ids.shape[1] for b in batches])
+
+    ungrouped_t = run(False)
+    grouped_t = run(True)
+    # grouped: half the batches are all-short (bucket 8), half all-long (64)
+    assert grouped_t < ungrouped_t
+    assert grouped_t <= (8 + 64) / 2

@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hf-init", action="store_true", default=False)
     p.add_argument("--text-encoder", default="bert-base-uncased")
     p.add_argument("--image-encoder", default="google/vit-base-patch16-224")
+    # batching (TPU-native additions)
+    p.add_argument("--length-grouped", action="store_true", default=False,
+                   help="group similar-length discussions per batch")
     # smoke-run conveniences
     p.add_argument("--synthetic", action="store_true", default=False)
     p.add_argument("--tiny", action="store_true", default=False,
@@ -172,10 +175,11 @@ def config_from_args(args) -> "TrainConfig":
                 attention_probs_dropout_prob=args.attention_dropout,
             ),
         )
-    data = DataConfig(batch_size=args.batch_size)
+    data = DataConfig(batch_size=args.batch_size, length_grouped=args.length_grouped)
     if args.tiny:
         data = DataConfig(
             batch_size=args.batch_size,
+            length_grouped=args.length_grouped,
             max_text_len=16,
             node_buckets=(8, 16),
             node_capacity_buckets=(32, 64, 128),

@@ -1,18 +1,33 @@
-"""Benchmark: canonical full-mDT training throughput on one TPU chip.
+"""Benchmark: canonical full-mDT training + inference throughput, one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line whose primary keys are
+``{"metric", "value", "unit", "vs_baseline"}`` plus credibility fields:
+analytic ``flops_per_step``, ``mfu`` against the chip's bf16 peak, the
+loss series across the timed window, and an inference-throughput metric
+(the north star is train + infer, BASELINE.json).
+
+Measurement rules (VERDICT.md round-1 items 2/9):
+- a distinct pre-staged device batch per step (no single-batch reuse);
+- the timing window is fenced by a host readback of the final step's loss
+  -- the train step chains through ``state``, so reading step N's loss
+  forces execution of all N steps even if ``block_until_ready`` on the
+  tunneled PJRT plugin were a no-op;
+- the loss series across the window is asserted finite and non-constant;
+- windows are >= ``MIN_WINDOW_SEC`` wall-clock each, 3 windows, median;
+- if implied MFU exceeds the chip's bf16 peak the harness re-times with a
+  per-step host readback (dispatch-only timing cannot survive that) and
+  reports the conservative number.
 
 Metric: discussions/sec/chip for the canonical training configuration
-(full mDT — 8 fusion layers, 4 bottleneck tokens, graph/fusion stacks 2/2,
+(full mDT -- 8 fusion layers, 4 bottleneck tokens, graph/fusion stacks 2/2,
 d=768, batch 12, 100-token comments, 224^2 images on ~25% of nodes;
-run_train.sh:37-65).
+reference run_train.sh:37-65).
 
-Baseline: the reference publishes no numbers (BASELINE.md). The pinned
-reference estimate is derived from its own budget: 10,820 updates x
-batch 12 x update-freq 3 = 389,520 discussion graphs inside the 10 h SLURM
-wall-clock (run_train.sh:3,44,65,62) -> ~10.8 discussions/sec on an
-A100-class GPU. ``vs_baseline`` = measured / 10.8 until a reference re-run
-pins the true number.
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+pinned estimate derives from its own budget: 10,820 updates x batch 12 x
+update-freq 3 = 389,520 discussion graphs inside the 10 h SLURM wall-clock
+(run_train.sh:3,44,65,62) -> ~10.8 discussions/sec on an A100-class GPU.
+``vs_baseline`` = measured / 10.8 until a reference re-run pins the truth.
 """
 
 from __future__ import annotations
@@ -29,13 +44,92 @@ NODE_CAP = 256
 IMG_CAP = 64
 LABEL_CAP = 128
 SEQ = 100
-STEPS = 20
+N_BATCHES = 8  # distinct pre-staged batches, cycled
 WARMUP = 3
+N_WINDOWS = 3
+MIN_WINDOW_SEC = 30.0
+
+
+def _build(cfg, mesh):
+    """N_BATCHES distinct batches with ONE shape signature.
+
+    Distinct shapes would mean distinct compiled programs (minutes each over
+    the tunnel) polluting the timing windows, so batch 0 fixes the
+    signature and the rest are shape-preserving reshuffles of its content
+    (fresh token ids / images / biases per step, same buffers)."""
+    import numpy as np
+
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+    from multimodaldiscussiontransformer_tpu.data.synthetic import (
+        synthetic_batch_items,
+    )
+
+    items = synthetic_batch_items(
+        BATCH,
+        seed=0,
+        min_nodes=8,
+        max_nodes=MAX_NODES,
+        seq_len=SEQ,
+        vocab_size=cfg.model.text_tower.vocab_size,
+        image_prob=0.25,
+        image_shape=(3, 224, 224),
+    )
+    base = collate(
+        items,
+        spatial_pos_max=cfg.task_cfg.spatial_pos_max,
+        node_buckets=(MAX_NODES,),
+        node_capacity_buckets=(NODE_CAP,),
+        image_capacity_buckets=(IMG_CAP,),
+        label_capacity_buckets=(LABEL_CAP,),
+    ).asdict()
+
+    batches = [base]
+    vocab = cfg.model.text_tower.vocab_size
+    for seed in range(1, N_BATCHES):
+        rng = np.random.RandomState(seed)
+        b = dict(base)
+        ids = base["input_ids"]
+        b["input_ids"] = np.where(
+            base["attention_mask"] > 0,
+            rng.randint(1000, vocab, ids.shape).astype(ids.dtype),
+            ids,
+        )
+        b["images"] = rng.randn(*base["images"].shape).astype(np.float32)
+        b["y"] = np.where(
+            base["y_slot_mask"],
+            rng.randint(0, 2, base["y"].shape).astype(base["y"].dtype),
+            base["y"],
+        )
+        batches.append(b)
+    return batches
+
+
+def _loss_value(logs) -> float:
+    """Host readback of the step loss -- the fence for the timing window."""
+    import jax
+
+    return float(jax.device_get(logs["loss"]))
+
+
+def _timed_window(step, state, device_batches, n_steps, per_step_sync=False):
+    """Run ``n_steps`` chained steps over cycled distinct batches; returns
+    (state, rate_steps_per_sec, losses). Fenced by host readback."""
+    losses = []
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, logs = step(state, device_batches[i % len(device_batches)])
+        if per_step_sync:
+            losses.append(_loss_value(logs))
+    if not per_step_sync:
+        losses.append(_loss_value(logs))  # forces the whole chain
+    dt = time.perf_counter() - t0
+    return state, n_steps / dt, losses
 
 
 def main() -> None:
+    import math
+
     import jax
-    import jax.numpy as jnp
 
     from multimodaldiscussiontransformer_tpu.core.cache import (
         enable_compilation_cache,
@@ -49,15 +143,15 @@ def main() -> None:
         TaskConfig,
         TrainConfig,
     )
-    from multimodaldiscussiontransformer_tpu.data.collator import collate
-    from multimodaldiscussiontransformer_tpu.data.synthetic import (
-        synthetic_batch_items,
-    )
     from multimodaldiscussiontransformer_tpu.parallel.mesh import (
         make_mesh,
         shard_batch,
     )
     from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
+    from multimodaldiscussiontransformer_tpu.utils.flops import (
+        peak_flops,
+        train_step_flops,
+    )
 
     cfg = TrainConfig(
         data=DataConfig(
@@ -72,47 +166,91 @@ def main() -> None:
         dp_size=1,
         tp_size=1,
     )
-    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
-    trainer = Trainer(cfg, mesh=mesh)
-
-    items = synthetic_batch_items(
-        BATCH,
-        seed=0,
-        min_nodes=8,
-        max_nodes=MAX_NODES,
+    device = jax.devices()[0]
+    chip = device.device_kind
+    peak = peak_flops(chip)
+    flops = train_step_flops(
+        cfg.model,
+        batch=BATCH,
+        node_capacity=NODE_CAP,
+        image_capacity=IMG_CAP,
         seq_len=SEQ,
-        vocab_size=cfg.model.text_tower.vocab_size,
-        image_prob=0.25,
-        image_shape=(3, 224, 224),
-    )
-    batch = collate(
-        items,
-        spatial_pos_max=cfg.task_cfg.spatial_pos_max,
-        node_buckets=(MAX_NODES,),
-        node_capacity_buckets=(NODE_CAP,),
-        image_capacity_buckets=(IMG_CAP,),
-        label_capacity_buckets=(LABEL_CAP,),
+        max_nodes=MAX_NODES,
     )
 
-    state = trainer.init_state(batch.asdict())
+    mesh = make_mesh(1, 1, devices=[device])
+    trainer = Trainer(cfg, mesh=mesh)
+    host_batches = _build(cfg, mesh)
+
+    state = trainer.init_state(host_batches[0])
     step = trainer._make_train_step()
 
-    # median of several timing windows — the tunneled single-chip setup has
-    # visible run-to-run variance
-    window_rates = []
+    all_losses = []
     with mesh:
-        jb = shard_batch(mesh, batch.asdict())
-        for _ in range(WARMUP):
-            state, logs = step(state, jb)
-        jax.block_until_ready(logs["loss"])
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(STEPS):
-                state, logs = step(state, jb)
-            jax.block_until_ready(logs["loss"])
-            window_rates.append(BATCH * STEPS / (time.perf_counter() - t0))
+        device_batches = [shard_batch(mesh, b) for b in host_batches]
+        for i in range(WARMUP):
+            state, logs = step(state, device_batches[i % N_BATCHES])
+        warm_loss = _loss_value(logs)
+        assert math.isfinite(warm_loss), f"non-finite warmup loss {warm_loss}"
 
-    discussions_per_sec = sorted(window_rates)[len(window_rates) // 2]
+        # calibrate steps/window for >= MIN_WINDOW_SEC wall-clock
+        state, cal_rate, _ = _timed_window(step, state, device_batches, 5)
+        steps_per_window = max(10, int(math.ceil(MIN_WINDOW_SEC * cal_rate)))
+
+        window_rates = []
+        for _ in range(N_WINDOWS):
+            state, rate, losses = _timed_window(
+                step, state, device_batches, steps_per_window
+            )
+            window_rates.append(rate)
+            all_losses.extend(losses)
+
+        steps_per_sec = sorted(window_rates)[N_WINDOWS // 2]
+        mfu = flops["train_total"] * steps_per_sec / peak
+        timing_mode = "chained-readback"
+        if mfu > 1.0:
+            # dispatch-only timing slipped through: re-time with a per-step
+            # host sync, which no async runtime can fake
+            timing_mode = "per-step-sync"
+            state, steps_per_sec, losses = _timed_window(
+                step, state, device_batches, steps_per_window,
+                per_step_sync=True,
+            )
+            all_losses.extend(losses)
+            mfu = flops["train_total"] * steps_per_sec / peak
+
+        # loss series must be finite and actually moving
+        assert all(math.isfinite(v) for v in all_losses), all_losses
+        assert len(set(round(v, 6) for v in all_losses)) > 1 or len(all_losses) < 2, (
+            f"loss frozen across windows: {all_losses}"
+        )
+
+        # inference throughput: deterministic forward, same canonical shapes
+        import jax.numpy as jnp
+
+        model = trainer.model
+        infer = jax.jit(
+            lambda p, b: model.apply(p, b, deterministic=True).logits
+        )
+        logits = infer(state.params, device_batches[0])
+        float(jax.device_get(logits[0, 0]))  # compile + fence
+        state_params = state.params
+        t0 = time.perf_counter()
+        n_inf = max(10, int(steps_per_sec * 3) * 3)
+        for i in range(n_inf):
+            logits = infer(state_params, device_batches[i % N_BATCHES])
+        float(jax.device_get(logits[0, 0]))
+        infer_rate = n_inf / (time.perf_counter() - t0)
+        infer_mfu = flops["infer_total"] * infer_rate / peak
+        if infer_mfu > 1.0:
+            t0 = time.perf_counter()
+            for i in range(n_inf):
+                logits = infer(state_params, device_batches[i % N_BATCHES])
+                float(jax.device_get(logits[0, 0]))
+            infer_rate = n_inf / (time.perf_counter() - t0)
+            infer_mfu = flops["infer_total"] * infer_rate / peak
+
+    discussions_per_sec = steps_per_sec * BATCH
     print(
         json.dumps(
             {
@@ -122,6 +260,22 @@ def main() -> None:
                 "vs_baseline": round(
                     discussions_per_sec / BASELINE_DISCUSSIONS_PER_SEC, 3
                 ),
+                "chip": chip,
+                "peak_flops_assumed": peak,
+                "flops_per_step": round(flops["train_total"]),
+                "mfu": round(mfu, 4),
+                "timing_mode": timing_mode,
+                "window_steps": steps_per_window,
+                "window_rates_steps_per_sec": [
+                    round(r, 3) for r in window_rates
+                ],
+                "loss_first_last": [
+                    round(all_losses[0], 5),
+                    round(all_losses[-1], 5),
+                ],
+                "infer_throughput": round(infer_rate * BATCH, 3),
+                "infer_unit": "discussions/sec/chip",
+                "infer_mfu": round(infer_mfu, 4),
             }
         )
     )

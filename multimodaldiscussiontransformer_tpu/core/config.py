@@ -280,6 +280,12 @@ class DataConfig:
     reference's per-batch max-node padding (collator.py:127)."""
 
     batch_size: int = 12  # graphs per batch (run_train.sh:44)
+    # The reference's ``--batch-size 12`` is PER GPU (run_train.sh:44 runs
+    # on 8 GPUs -> global batch 96). True (default, reference parity):
+    # global batch = batch_size x dp, so batches are dp-divisible by
+    # construction. False: batch_size is the global batch and must divide
+    # evenly by dp (the Trainer enforces this).
+    batch_size_is_per_replica: bool = True
     max_text_len: int = 100  # hateful_discussions.py:165
     # per-batch token-length buckets: trim the fixed 100-token padding down
     # to the batch's longest attended token (numerics-identical; the text

@@ -116,6 +116,7 @@ def collate(
     contrastive: bool = False,
     image_shape: Tuple[int, int, int] = (3, 224, 224),
     text_len_buckets: Optional[Sequence[int]] = None,
+    pad_to_graphs: Optional[int] = None,
 ) -> Batch:
     """Collate preprocessed GraphItems into one static-shape Batch.
 
@@ -124,7 +125,14 @@ def collate(
     pays the full text-tower cost for it; most comments are far shorter, so
     trimming to the smallest bucket covering the batch's longest attended
     token is a large FLOP saving with identical numerics (the removed
-    columns are fully masked in every consumer)."""
+    columns are fully masked in every consumer).
+
+    ``pad_to_graphs``: pad the per-graph axis up to this count with inert
+    zero-node graphs so ragged eval tails reuse the full-batch compiled
+    program and shard over dp. A pad graph is a graph whose every node row
+    is padding (``grid_mask`` all-False, ``idx`` -1); it consumes no flat
+    text/image/label capacity, ``nsamples`` counts only real graphs, and
+    per-graph validity is recoverable as ``grid_mask.any(-1)``."""
     b = len(items)
     t = items[0].input_ids.shape[1]
     if text_len_buckets:
@@ -164,16 +172,22 @@ def collate(
     image_mask = np.zeros(icap, dtype=bool)
     image_node = np.full(icap, cap, dtype=np.int32)
 
-    spatial_pos = np.zeros((b, nmax, nmax), dtype=np.int32)
-    attn_bias = np.full((b, nmax + 1, nmax + 1), NEG_INF, dtype=np.float32)
-    in_degree = np.zeros((b, nmax), dtype=np.int32)
-    grid_mask = np.zeros((b, nmax), dtype=bool)
+    ball = max(b, pad_to_graphs or 0)
+    spatial_pos = np.zeros((ball, nmax, nmax), dtype=np.int32)
+    attn_bias = np.full((ball, nmax + 1, nmax + 1), NEG_INF, dtype=np.float32)
+    in_degree = np.zeros((ball, nmax), dtype=np.int32)
+    grid_mask = np.zeros((ball, nmax), dtype=bool)
 
     y_vals: List[np.ndarray] = []
     y_nodes: List[int] = []
-    contr_y = np.zeros(b, dtype=np.float32)
-    hard_y = np.zeros(b, dtype=np.float32)
-    idxs = np.zeros(b, dtype=np.int32)
+    contr_y = np.zeros(ball, dtype=np.float32)
+    hard_y = np.zeros(ball, dtype=np.float32)
+    idxs = np.full(ball, -1, dtype=np.int32)
+
+    # pad graphs: the n=0 instance of the real-graph bias template — the
+    # graph token attends only itself, every node row is padding
+    attn_bias[b:, 0, 0] = 0.0
+    attn_bias[b:, 1:, 0] = 0.0
 
     node_off = 0
     img_off = 0

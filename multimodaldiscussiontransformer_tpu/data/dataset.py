@@ -105,12 +105,20 @@ def iterate_batches(
     shard_multiple: int = 1,
     image_shape=(3, 224, 224),
     drop_last: Optional[bool] = None,
+    batch_size: Optional[int] = None,
+    pad_tail_to_batch: bool = False,
 ) -> Iterator[Batch]:
-    """Yield collated static-shape batches for one epoch."""
+    """Yield collated static-shape batches for one epoch.
+
+    ``batch_size`` overrides ``data_cfg.batch_size`` (the Trainer passes the
+    dp-scaled global batch). With ``pad_tail_to_batch`` a ragged final batch
+    (drop_last=False eval) is padded to the full batch size with inert
+    zero-node graphs, so eval reuses the one full-batch compiled program and
+    every array stays dp-shardable."""
     order = np.asarray(indices)
     if shuffle:
         order = order[epoch_permutation(len(order), task_cfg.seed, epoch)]
-    bs = data_cfg.batch_size
+    bs = batch_size if batch_size is not None else data_cfg.batch_size
     drop = data_cfg.drop_last if drop_last is None else drop_last
     if shuffle and getattr(data_cfg, "length_grouped", False):
         # fairseq-style length grouping: sort the (already epoch-shuffled)
@@ -133,6 +141,7 @@ def iterate_batches(
         items = [dataset.get(int(i)) for i in chunk]
         yield collate(
             items,
+            pad_to_graphs=bs if pad_tail_to_batch else None,
             spatial_pos_max=task_cfg.spatial_pos_max,
             node_buckets=data_cfg.node_buckets,
             node_capacity_buckets=data_cfg.node_capacity_buckets,

@@ -134,14 +134,29 @@ class HashTokenizer:
 def make_tokenizer(
     name: str = "bert-base-uncased", vocab_size: int = 30522
 ) -> Callable:
-    """HF tokenizer when available, hash fallback otherwise.
+    """Real WordPiece when a vocab is available, HF tokenizer as second
+    choice, hash fallback last.
 
-    ``name="__offline__"`` forces the hash fallback (e.g. smoke runs with
-    tiny-vocab models). Otherwise the local HF cache is tried first
-    (fail-fast, no retry storm in zero-egress environments); a network
-    download is attempted only when ``MDT_ALLOW_DOWNLOAD=1``."""
+    Resolution order:
+    1. ``name="__offline__"`` forces the hash fallback (smoke runs with
+       tiny-vocab models);
+    2. a vendored ``vocab.txt`` (``$MDT_BERT_VOCAB``) drives the offline
+       WordPiece implementation (data/tokenizer.py) — vocabulary-exact
+       bert-base-uncased tokenization with zero network;
+    3. the local HF cache (fail-fast, no retry storm in zero-egress
+       environments); a network download only when ``MDT_ALLOW_DOWNLOAD=1``;
+    4. HashTokenizer (NOT vocab-compatible; last resort)."""
     if name == "__offline__":
         return HashTokenizer(vocab_size)
+    if name == "bert-base-uncased":
+        from multimodaldiscussiontransformer_tpu.data.tokenizer import (
+            BertWordPieceTokenizer,
+            find_vocab,
+        )
+
+        vocab = find_vocab()
+        if vocab is not None:
+            return BertWordPieceTokenizer(vocab)
     try:
         import os
 
@@ -257,6 +272,7 @@ def tree_to_items(
     max_length: int = 100,
     image_loader: Callable = preprocess_image,
     start_idx: int = 0,
+    image_size: int = VIT_SIZE,
 ) -> List[GraphItem]:
     """One raw discussion -> one GraphItem per labelled node
     (the per-label graph duplication of hateful_discussions.py:196-232)."""
@@ -281,7 +297,8 @@ def tree_to_items(
             try:
                 imgs.append(
                     image_loader(
-                        os.path.join(image_root, paths[0]) if image_root else paths[0]
+                        os.path.join(image_root, paths[0]) if image_root else paths[0],
+                        image_size,
                     )
                 )
                 has_image[i] = True
@@ -290,7 +307,7 @@ def tree_to_items(
     x_images = (
         np.stack(imgs).astype(np.float32)
         if imgs
-        else np.zeros((0, 3, VIT_SIZE, VIT_SIZE), np.float32)
+        else np.zeros((0, 3, image_size, image_size), np.float32)
     )
 
     labels = [records[nid]["label"] for nid in order]
@@ -349,6 +366,7 @@ def process(
     limit: Optional[int] = None,
     log_every: int = 1000,
     vocab_size: int = 30522,
+    image_size: int = VIT_SIZE,
 ) -> int:
     """Full ingestion over ``pruned-with-images.json``; returns the number of
     processed graph copies. Layout mirrors the reference
@@ -382,6 +400,7 @@ def process(
             items = tree_to_items(
                 raw, tokenizer, image_root=image_root,
                 max_length=max_length, start_idx=k,
+                image_size=image_size,
             )
             for item in items:
                 save_graph_npz(

@@ -1,0 +1,406 @@
+"""One-command two-stage rehearsal: raw JSON -> ingest -> contrastive
+pre-train -> transfer -> fine-tune -> test F1.
+
+The reference's canonical training story is a two-stage recipe
+(run_train.sh:57-63): restore a contrastive pre-training checkpoint with
+``--reset-optimizer`` and fine-tune on node prediction. The real corpus
+(Pushshift dumps) and real tower weights (HF hub) are unreachable from this
+environment, so this driver rehearses the FULL pipeline end to end on a
+faithful mini-corpus it generates itself:
+
+1. ``generate_mini_corpus`` writes raw discussion trees in the exact
+   reference JSON schema (nested ``{id, data, images, tree}`` lines,
+   hateful_discussions.py:107-232) with hate/normal labels, per-tree
+   communities (for the contrastive stage), PNG images on some roots, and
+   a mini WordPiece ``vocab.txt`` covering the corpus;
+2. ``data_prep.splits.make_splits`` produces hate-stratified train/test
+   line splits (6-export:50-58);
+3. ``ingest.process`` tokenizes with the offline WordPiece tokenizer
+   (data/tokenizer.py) and writes ``graph-<k>.npz`` + idx files;
+4. stage 1 trains ``contrastive_learning`` on per-tree community labels
+   (polar-opposite pairs as hard negatives, contrastive_loss.py:117-134);
+5. the checkpoint is restored into a ``node_prediction`` trainer with
+   optimizer reset + classifier-head reset (run_train.sh:63,
+   node_prediction.py:44-54 intent);
+6. stage 2 fine-tunes and prints test accuracy/P/R/F1 as one JSON line.
+
+Run: ``python -m multimodaldiscussiontransformer_tpu.experiments.\
+hateful_discussions.two_stage --out /tmp/rehearsal`` (CI-scale defaults,
+a few minutes on CPU). Labels correlate with lexicon words, so the F1 is a
+real learning signal, not chance.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+# word lists: hate-labelled comments draw from HATE_WORDS, others from
+# NEUTRAL_WORDS; communities skew topic words so contrastive can learn
+HATE_WORDS = "blight vermin scum filth degenerate parasite".split()
+NEUTRAL_WORDS = (
+    "thanks interesting agree point source fair question answer detail "
+    "update thread reply topic post story"
+).split()
+COMMUNITY_WORDS = {
+    0: "gaming console pixel quest".split(),
+    1: "garden flower seed bloom".split(),
+    2: "finance market stock trade".split(),
+    3: "cooking recipe flavor spice".split(),
+}
+# polar-opposite community pairs (hard negatives, contrastive_loss.py:124)
+POLAR = {0: 1, 1: 0, 2: 3, 3: 2}
+
+
+def _mini_vocab() -> List[str]:
+    words = sorted(
+        set(
+            HATE_WORDS
+            + NEUTRAL_WORDS
+            + [w for ws in COMMUNITY_WORDS.values() for w in ws]
+            + "a the this is so very and much title link1 link2".split()
+        )
+    )
+    return ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "[", "]"] + words
+
+
+def _sentence(rng, community: int, hateful: bool, n_words: int = 8) -> str:
+    pool = (HATE_WORDS if hateful else NEUTRAL_WORDS) + COMMUNITY_WORDS[
+        community
+    ]
+    return " ".join(rng.choice(pool) for _ in range(n_words))
+
+
+def generate_mini_corpus(
+    out_dir: str,
+    n_trees: int = 200,
+    seed: int = 0,
+    image_prob: float = 0.2,
+    image_px: int = 32,
+) -> Dict[str, str]:
+    """Write raw.json (reference schema), per-tree communities.json, root
+    images, and a covering mini vocab.txt. Returns the file paths."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    raw_path = os.path.join(out_dir, "raw.json")
+    communities: List[int] = []
+    with open(raw_path, "w") as f:
+        for t in range(n_trees):
+            community = int(rng.randint(0, 4))
+            communities.append(community)
+            image = None
+            if rng.rand() < image_prob:
+                from PIL import Image
+
+                arr = rng.randint(
+                    0, 255, (image_px, image_px, 3), dtype=np.uint8
+                )
+                image = f"images/img{t}.png"
+                Image.fromarray(arr).save(os.path.join(out_dir, image))
+            n_comments = int(rng.randint(3, 8))
+            nodes = []
+            for c in range(n_comments):
+                hateful = bool(rng.rand() < 0.3)
+                label = (
+                    "DEG" if hateful else
+                    ("lti_normal" if rng.rand() < 0.8 else "NA")
+                )
+                nodes.append(
+                    {
+                        "id": f"c{t}_{c}",
+                        "data": {
+                            "id": f"c{t}_{c}",
+                            "body": _sentence(rng, community, hateful),
+                            "label": label,
+                            "parent_id": f"t3_{t}",
+                            "link_id": f"t3_{t}",
+                        },
+                        "images": [],
+                        "tree": [],
+                    }
+                )
+            # chain some comments under others for real tree shapes
+            top: List[dict] = []
+            for i, node in enumerate(nodes):
+                if i and rng.rand() < 0.5:
+                    parent = nodes[int(rng.randint(0, i))]
+                    node["data"]["parent_id"] = parent["id"]
+                    parent["tree"].append(node)
+                else:
+                    top.append(node)
+            tree = {
+                "id": f"t3_{t}",
+                "data": {
+                    "id": f"t3_{t}",
+                    "title": _sentence(rng, community, False, 4),
+                    "selftext": _sentence(rng, community, False, 6),
+                    "label": "Neutral",
+                    "link_id": f"t3_{t}",
+                },
+                "images": [image] if image else [],
+                "tree": top,
+            }
+            f.write(json.dumps(tree) + "\n")
+    vocab_path = os.path.join(out_dir, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(_mini_vocab()) + "\n")
+    comm_path = os.path.join(out_dir, "communities.json")
+    with open(comm_path, "w") as f:
+        json.dump(communities, f)
+    return {"raw": raw_path, "vocab": vocab_path, "communities": comm_path}
+
+
+def build_contrastive_items(
+    raw_path: str,
+    communities: List[int],
+    tokenizer,
+    max_length: int,
+    image_root: str,
+    image_size: int,
+):
+    """One contrastive GraphItem per discussion: y = community id,
+    hard_y = polar-opposite community (ContrastiveBatchedDataDataset's
+    added labels, mDT/src/tasks/contrastive.py + contrastive_loss.py:117)."""
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.ingest import (
+        tree_to_items,
+    )
+
+    items = []
+    with open(raw_path) as f:
+        for t, line in enumerate(f):
+            per_label = tree_to_items(
+                json.loads(line),
+                tokenizer,
+                image_root=image_root,
+                max_length=max_length,
+                start_idx=t,
+                image_size=image_size,
+            )
+            if not per_label:
+                continue
+            it = per_label[0]
+            items.append(
+                dataclasses.replace(
+                    it,
+                    idx=t,
+                    y=np.asarray([communities[t]], np.int64),
+                    y_mask=None,
+                    hard_y=np.asarray([POLAR[communities[t]]], np.int64),
+                )
+            )
+    return items
+
+
+def run(
+    out: str,
+    n_trees: int = 200,
+    seed: int = 0,
+    stage1_updates: int = 30,
+    stage2_updates: int = 120,
+    max_length: int = 24,
+    min_f1: Optional[float] = None,
+    dp_size: int = 1,
+) -> Dict[str, float]:
+    from multimodaldiscussiontransformer_tpu.core import registry
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        BertTowerConfig,
+        DataConfig,
+        OptimConfig,
+        TaskConfig,
+        TrainConfig,
+        ViTTowerConfig,
+        tiny_model_config,
+    )
+    from multimodaldiscussiontransformer_tpu.core.registry import TASKS
+    from multimodaldiscussiontransformer_tpu.data.dataset import (
+        DiscussionDataset,
+    )
+    from multimodaldiscussiontransformer_tpu.data.tokenizer import (
+        BertWordPieceTokenizer,
+    )
+    from multimodaldiscussiontransformer_tpu.data_prep.splits import (
+        make_splits,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+        create_hatespeech_dataset,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.ingest import (
+        process,
+    )
+    from multimodaldiscussiontransformer_tpu.utils.checkpoints import (
+        Checkpointer,
+        reset_classifier_head,
+    )
+
+    registry.populate()
+    image_px = 32
+
+    # 1. corpus ------------------------------------------------------------
+    paths = generate_mini_corpus(out, n_trees=n_trees, seed=seed, image_px=image_px)
+    communities = json.load(open(paths["communities"]))
+    os.environ["MDT_BERT_VOCAB"] = paths["vocab"]
+    tokenizer = BertWordPieceTokenizer(paths["vocab"])
+    print(f"[two_stage] corpus: {n_trees} trees, vocab {tokenizer.vocab_size}")
+
+    # 2. splits (stratified by hate presence, 6-export:50-58) --------------
+    split_dir = os.path.join(out, "splits")
+    make_splits(paths["raw"], split_dir, n_splits=1, seed=seed)
+
+    # 3. ingest -------------------------------------------------------------
+    data_root = os.path.join(out, "data")
+    n_copies = process(
+        paths["raw"],
+        data_root,
+        train_idx_file=os.path.join(split_dir, "train-idx.txt"),
+        test_idx_file=os.path.join(split_dir, "test-idx.txt"),
+        tokenizer_name="bert-base-uncased",  # resolves to WordPiece via env
+        image_root=out,
+        max_length=max_length,
+        image_size=image_px,
+        log_every=0,
+    )
+    print(f"[two_stage] ingested {n_copies} graph copies")
+
+    # shared tiny geometry sized for the mini corpus
+    model_cfg = tiny_model_config().replace(
+        text_tower=BertTowerConfig(
+            vocab_size=tokenizer.vocab_size,
+            hidden_size=64,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=max(64, max_length),
+        ),
+        image_tower=ViTTowerConfig(
+            image_size=image_px,
+            patch_size=16,
+            hidden_size=64,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            intermediate_size=128,
+        ),
+    )
+    img_shape = (3, image_px, image_px)
+    data_cfg = DataConfig(
+        batch_size=8,
+        max_text_len=max_length,
+        text_len_buckets=(max_length,),
+        node_buckets=(8, 16),
+        node_capacity_buckets=(64, 128, 256),
+        image_capacity_buckets=(0, 8, 16, 32),
+        label_capacity_buckets=(16, 32, 64, 128),
+    )
+
+    # 4. stage 1: contrastive pre-train -------------------------------------
+    contr_items = build_contrastive_items(
+        paths["raw"], communities, tokenizer, max_length, out, image_px
+    )
+    contr_ds = DiscussionDataset.from_splits(contr_items, seed=seed)
+    cfg1 = TrainConfig(
+        model=model_cfg,
+        data=data_cfg,
+        optim=OptimConfig(
+            lr=1e-3, warmup_updates=5,
+            total_num_update=max(stage1_updates, 1), update_freq=1,
+        ),
+        task_cfg=TaskConfig(dataset_name="hateful_discussions", seed=seed),
+        task="contrastive_learning",
+        criterion="contrastive_loss",
+        save_dir=os.path.join(out, "stage1"),
+        log_interval=10,
+        validate_interval_updates=0,
+        dp_size=dp_size,
+        tp_size=1,
+    )
+    trainer1 = TASKS.get("contrastive_learning")(cfg1).build_trainer(
+        image_shape=img_shape
+    )
+    state1 = trainer1.fit(contr_ds, max_epoch=1000, max_updates=stage1_updates)
+    ckpt1 = Checkpointer(cfg1.save_dir)
+    ckpt1.save(state1, int(state1.step))
+    ckpt1.wait()
+    print(f"[two_stage] stage 1 done @ {int(state1.step)} microsteps")
+
+    # 5. transfer: restore params, reset head + optimizer -------------------
+    ds2 = create_hatespeech_dataset(root=data_root, seed=seed)
+    cfg2 = TrainConfig(
+        model=model_cfg,
+        data=data_cfg,
+        optim=OptimConfig(
+            lr=1e-3, warmup_updates=10,
+            total_num_update=max(stage2_updates, 1), update_freq=1,
+        ),
+        task_cfg=TaskConfig(dataset_name="hateful_discussions", seed=seed),
+        task="node_prediction",
+        criterion="node_cross_entropy",
+        positive_weight=1.5,  # run_train.sh:41
+        save_dir=os.path.join(out, "stage2"),
+        log_interval=20,
+        validate_interval_updates=0,
+        dp_size=dp_size,
+        tp_size=1,
+    )
+    trainer2 = TASKS.get("node_prediction")(cfg2).build_trainer(
+        image_shape=img_shape
+    )
+    first = next(iter(trainer2.train_batches(ds2, epoch=1)))
+    state2 = trainer2.init_state(first.asdict())
+    restored = ckpt1.restore_raw()
+    ckpt1.close()
+    import jax
+
+    params = (
+        restored["params"] if isinstance(restored, dict) else restored.params
+    )
+    params = reset_classifier_head(params, jax.random.PRNGKey(seed + 17))
+    state2 = trainer2.load_params(state2, params)  # reset-optimizer path
+    print("[two_stage] transferred stage-1 params (head + optimizer reset)")
+
+    # 6. fine-tune + test ----------------------------------------------------
+    state2 = trainer2.fit(ds2, max_epoch=1000, max_updates=stage2_updates)
+    metrics = trainer2.evaluate(state2, ds2, "test")
+    result = {
+        "stage1_updates": stage1_updates,
+        "stage2_updates": stage2_updates,
+        "n_trees": n_trees,
+        **{k: round(float(v), 4) for k, v in metrics.items()},
+    }
+    print("[two_stage] TEST " + json.dumps(result))
+    if min_f1 is not None and result.get("f1", 0.0) < min_f1:
+        raise SystemExit(
+            f"two_stage F1 {result.get('f1')} below required {min_f1}"
+        )
+    return result
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="two-stage mini-corpus rehearsal")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-trees", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stage1-updates", type=int, default=30)
+    p.add_argument("--stage2-updates", type=int, default=120)
+    p.add_argument("--max-length", type=int, default=24)
+    p.add_argument("--min-f1", type=float, default=None)
+    p.add_argument("--dp", type=int, default=1)
+    a = p.parse_args(argv)
+    run(
+        a.out,
+        n_trees=a.n_trees,
+        seed=a.seed,
+        stage1_updates=a.stage1_updates,
+        stage2_updates=a.stage2_updates,
+        max_length=a.max_length,
+        min_f1=a.min_f1,
+        dp_size=a.dp,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,8 +28,14 @@ def contrastive_loss(
     soft_negative_weight: float = 0.0,
     adaptive_soft_negative_weight: bool = True,
     multiplication_scale: float = 20.0,
+    valid: jnp.ndarray = None,  # (B,) bool — False for padded eval graphs
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Returns (summed loss, sample_size, summable logging_output)."""
+    """Returns (summed loss, sample_size, summable logging_output).
+
+    ``valid`` masks batch-padding graphs (collator ``pad_to_graphs``) out of
+    every pair term and every summed metric; with all-True it is exactly the
+    reference computation (the reference never sees partial batches because
+    its contrastive loader drops last)."""
     emb = embeddings.astype(jnp.float32)
     normed = emb / jnp.maximum(
         jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12
@@ -38,12 +44,18 @@ def contrastive_loss(
 
     y = y.astype(jnp.float32)
     hard_y = hard_y.astype(jnp.float32)
+    b_full = sim.shape[0]
+    if valid is None:
+        valid = jnp.ones((b_full,), bool)
+    pair_valid = valid[:, None] & valid[None, :]
     # target[i, j] = 1 iff discussions i and j share a community
     # (contrastive_loss.py:117-120: targets.unsqueeze(1).eq(targets))
-    target = (y[:, None] == y[None, :]).astype(jnp.float32)
-    hard_target = (hard_y[:, None] == y[None, :]).astype(jnp.float32)
+    target = ((y[:, None] == y[None, :]) & pair_valid).astype(jnp.float32)
+    hard_target = (
+        (hard_y[:, None] == y[None, :]) & pair_valid
+    ).astype(jnp.float32)
 
-    soft_labels = (target == 0) & (hard_target == 0)
+    soft_labels = (target == 0) & (hard_target == 0) & pair_valid
     if adaptive_soft_negative_weight:
         # per-row weight: hard pairs / soft pairs * 2 (contrastive_loss.py:129-134)
         num_hard = jnp.sum(
@@ -55,8 +67,8 @@ def contrastive_loss(
         extra_weight = jnp.asarray(soft_negative_weight, jnp.float32)
 
     weight = jnp.where(soft_labels, extra_weight, 1.0)
-    b = sim.shape[0]
-    eye = jnp.eye(b, dtype=bool)
+    weight = jnp.where(pair_valid, weight, 0.0)
+    eye = jnp.eye(b_full, dtype=bool)
     weight = jnp.where(eye, 0.0, weight)  # contrastive_loss.py:145-147
 
     # BCE with logits, sum reduction, elementwise weights
@@ -66,18 +78,19 @@ def contrastive_loss(
     )
     loss = jnp.sum(per_pair * weight)
 
-    sim_count = jnp.asarray(b * b, jnp.int32)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    sim_count = n_valid * n_valid
 
     # sample metrics (contrastive_loss.py:150-157) — note the reference
     # compares the (B, B) prediction matrix against the (B,) label vector
-    # with broadcasting; reproduced verbatim
+    # with broadcasting; reproduced verbatim (restricted to valid pairs)
     pred = jnp.round(jax.nn.sigmoid(sim))
-    ncorrect = jnp.sum((pred == y[None, :]).astype(jnp.int32))
+    ncorrect = jnp.sum(((pred == y[None, :]) & pair_valid).astype(jnp.int32))
     num_positive_correct = jnp.sum(
-        ((pred == y[None, :]) & (pred == 1)).astype(jnp.int32)
+        ((pred == y[None, :]) & (pred == 1) & pair_valid).astype(jnp.int32)
     )
-    total_positive = jnp.sum((y == 1).astype(jnp.int32))
-    pred_positive = jnp.sum((pred == 1).astype(jnp.int32))
+    total_positive = jnp.sum(((y == 1) & valid).astype(jnp.int32))
+    pred_positive = jnp.sum(((pred == 1) & pair_valid).astype(jnp.int32))
 
     logging_output = {
         "loss": loss,
@@ -126,6 +139,9 @@ class ContrastiveCriterion:
         self.multiplication_scale = multiplication_scale
 
     def __call__(self, output, batch):
+        # pad graphs (collator pad_to_graphs) have no real node rows
+        grid_mask = batch.get("grid_mask")
+        valid = grid_mask.any(-1) if grid_mask is not None else None
         return contrastive_loss(
             output.global_embedding,
             batch["y"],
@@ -133,6 +149,7 @@ class ContrastiveCriterion:
             self.soft_negative_weight,
             self.adaptive_soft_negative_weight,
             self.multiplication_scale,
+            valid=valid,
         )
 
     reduce_metrics = staticmethod(reduce_contrastive_metrics)

@@ -41,6 +41,11 @@ def make_mesh(
 
 _REPLICATED_FIELDS = frozenset({"nsamples"})
 
+# (field, shape, dp) combos we already warned about — replication of a real
+# batch array is a perf bug (the Trainer's global-batch/pad_tail machinery
+# should make every leading dim dp-divisible), not an expected state
+_warned_replicated: set = set()
+
 
 def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding]:
     specs = {}
@@ -50,8 +55,23 @@ def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding
         if (
             k in _REPLICATED_FIELDS
             or arr.ndim == 0
-            or arr.shape[0] % dp != 0  # partial eval batches: replicate
+            or arr.shape[0] % dp != 0  # non-divisible: replicate, loudly
         ):
+            if (
+                k not in _REPLICATED_FIELDS
+                and arr.ndim > 0
+                and arr.shape[0] % dp != 0
+                and (k, arr.shape, dp) not in _warned_replicated
+            ):
+                _warned_replicated.add((k, arr.shape, dp))
+                import warnings
+
+                warnings.warn(
+                    f"batch field '{k}' shape {arr.shape} not divisible by "
+                    f"dp={dp}; replicating (every chip computes the full "
+                    "array). Use per-replica batch sizing / pad_tail_to_batch.",
+                    stacklevel=2,
+                )
             specs[k] = NamedSharding(mesh, P())
         else:
             specs[k] = NamedSharding(

@@ -73,6 +73,20 @@ class Trainer:
         self.criterion = criterion or self._build_criterion()
         self.mesh = mesh or make_mesh(cfg.dp_size, cfg.tp_size)
         self.image_shape = image_shape
+        # global-batch semantics: the reference's --batch-size is per GPU
+        # (run_train.sh:44, 8 GPUs -> global 96); mirror that as per-dp-
+        # replica so every batch is dp-divisible by construction
+        dp = self.mesh.shape["dp"]
+        if cfg.data.batch_size_is_per_replica:
+            self.global_batch_size = cfg.data.batch_size * dp
+        else:
+            if cfg.data.batch_size % dp:
+                raise ValueError(
+                    f"global batch_size {cfg.data.batch_size} is not "
+                    f"divisible by dp={dp}; use batch_size_is_per_replica "
+                    "or a divisible batch size"
+                )
+            self.global_batch_size = cfg.data.batch_size
         self.tx = None  # built at init_state (needs params for freeze mask)
         self._train_step = None
         self._eval_step = None
@@ -185,6 +199,7 @@ class Trainer:
             contrastive=self.contrastive,
             shard_multiple=self.mesh.shape["dp"],
             image_shape=self.image_shape,
+            batch_size=self.global_batch_size,
         )
 
     def eval_batches(self, dataset: DiscussionDataset, split: str = "valid") -> Iterator:
@@ -195,6 +210,8 @@ class Trainer:
             shard_multiple=self.mesh.shape["dp"],
             image_shape=self.image_shape,
             drop_last=False,
+            batch_size=self.global_batch_size,
+            pad_tail_to_batch=True,
         )
 
     def evaluate(self, state: TrainState, dataset: DiscussionDataset, split: str = "valid") -> Dict[str, float]:
@@ -265,7 +282,7 @@ class Trainer:
         # the microbatches already consumed this epoch replays nothing and
         # keeps the lr schedule aligned with a non-preempted run
         bpe = (
-            len(dataset.train_idx) // max(cfg.data.batch_size, 1)
+            len(dataset.train_idx) // max(self.global_batch_size, 1)
             if cfg.data.drop_last
             else 0
         )

@@ -46,7 +46,7 @@ def tiny_train_cfg(**kw):
 def test_train_step_runs_and_loss_drops(tmp_path):
     cfg = tiny_train_cfg(save_dir=str(tmp_path / "ckpt"))
     trainer = Trainer(cfg, mesh=make_mesh(2, 1), image_shape=IMG)
-    ds = synthetic_dataset(num_graphs=16, seed=0, **SYN)
+    ds = synthetic_dataset(num_graphs=48, seed=0, **SYN)
 
     batches = list(trainer.train_batches(ds, epoch=1))
     assert batches, "expected at least one full batch"
@@ -87,7 +87,7 @@ def test_contrastive_training(tmp_path):
         criterion="contrastive_loss",
     )
     trainer = Trainer(cfg, mesh=make_mesh(2, 1), image_shape=IMG)
-    ds = synthetic_dataset(num_graphs=16, seed=2, contrastive=True, **SYN)
+    ds = synthetic_dataset(num_graphs=48, seed=2, contrastive=True, **SYN)
     state = trainer.fit(ds, max_epoch=1)
     assert int(state.step) > 0
     metrics = trainer.evaluate(state, ds, "valid")

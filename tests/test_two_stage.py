@@ -40,6 +40,8 @@ def base_cfg(tmp_path, **kw):
         validate_interval_updates=0,
         log_interval=100,
         save_dir=str(tmp_path / "stage1"),
+        dp_size=2,
+        tp_size=1,
     )
     d.update(kw)
     return TrainConfig(**d)
@@ -54,7 +56,7 @@ def test_contrastive_then_finetune(tmp_path):
     )
     task1 = TASKS.get("contrastive_learning")(cfg1)
     trainer1 = task1.build_trainer(image_shape=IMG)
-    ds1 = synthetic_dataset(num_graphs=12, seed=0, contrastive=True, **SYN)
+    ds1 = synthetic_dataset(num_graphs=24, seed=0, contrastive=True, **SYN)
     state1 = trainer1.fit(ds1, max_epoch=1)
     ckpt1 = Checkpointer(cfg1.save_dir)
     ckpt1.save(state1, int(state1.step))
@@ -70,7 +72,7 @@ def test_contrastive_then_finetune(tmp_path):
     )
     task2 = TASKS.get("node_prediction")(cfg2)
     trainer2 = task2.build_trainer(image_shape=IMG)
-    ds2 = synthetic_dataset(num_graphs=12, seed=1, contrastive=False, **SYN)
+    ds2 = synthetic_dataset(num_graphs=24, seed=1, contrastive=False, **SYN)
 
     first = next(iter(trainer2.train_batches(ds2, epoch=1)))
     state2 = trainer2.init_state(first.asdict())
@@ -110,3 +112,24 @@ def test_contrastive_then_finetune(tmp_path):
     metrics = trainer2.evaluate(state2, ds2, "valid")
     assert np.isfinite(metrics["loss"])
     assert "f1" in metrics
+
+
+def test_two_stage_rehearsal_script(tmp_path):
+    """The one-command rehearsal (raw JSON -> splits -> ingest -> contrastive
+    pre-train -> transfer -> fine-tune -> test F1) runs green at CI scale and
+    returns real metrics (VERDICT r1 item 6)."""
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.two_stage import (
+        run,
+    )
+
+    result = run(
+        str(tmp_path / "rehearsal"),
+        n_trees=40,
+        seed=0,
+        stage1_updates=2,
+        stage2_updates=6,
+        max_length=16,
+        dp_size=2,
+    )
+    for key in ("loss", "accuracy", "recall", "precision", "f1"):
+        assert key in result and np.isfinite(result[key]), result

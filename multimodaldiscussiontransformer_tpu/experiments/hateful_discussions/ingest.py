@@ -355,6 +355,24 @@ def save_graph_npz(path: str, item: GraphItem) -> None:
     np.savez_compressed(path, **arrays)
 
 
+# -- process-parallel ingestion plumbing (reference process() is serial;
+# -- 33k trees x tokenize + image-preprocess wants real parallelism) --------
+_WORKER_STATE: Dict = {}
+
+
+def _ingest_worker_init(tokenizer_name, vocab_size, image_root, max_length, image_size):
+    _WORKER_STATE["tokenizer"] = make_tokenizer(tokenizer_name, vocab_size)
+    _WORKER_STATE["args"] = (image_root, max_length, image_size)
+
+
+def _ingest_worker(line: str) -> List[GraphItem]:
+    image_root, max_length, image_size = _WORKER_STATE["args"]
+    return tree_to_items(
+        json.loads(line), _WORKER_STATE["tokenizer"], image_root=image_root,
+        max_length=max_length, start_idx=0, image_size=image_size,
+    )
+
+
 def process(
     json_path: str,
     out_root: str,
@@ -367,13 +385,19 @@ def process(
     log_every: int = 1000,
     vocab_size: int = 30522,
     image_size: int = VIT_SIZE,
+    workers: int = 0,
 ) -> int:
     """Full ingestion over ``pruned-with-images.json``; returns the number of
     processed graph copies. Layout mirrors the reference
     (graph-<k>.npz under <out_root>/processed + *-idx-many.txt index files,
-    hateful_discussions.py:88-106,225-231)."""
+    hateful_discussions.py:88-106,225-231).
+
+    ``workers > 0`` fans the per-tree work (tokenize, image preprocess,
+    distance matrices) out over a process pool, preserving output order and
+    idx assignment exactly (ordered imap; idx numbering happens here)."""
+    import dataclasses
+
     os.makedirs(os.path.join(out_root, "processed"), exist_ok=True)
-    tokenizer = make_tokenizer(tokenizer_name, vocab_size)
 
     def read_idx(path):
         if path and os.path.exists(path):
@@ -384,35 +408,65 @@ def process(
     train_nums = read_idx(train_idx_file)
     test_nums = read_idx(test_idx_file)
 
-    k = 0
-    with open(json_path) as f, open(
-        os.path.join(out_root, "train-idx-many.txt"), "w"
-    ) as train_out, open(
-        os.path.join(out_root, "test-idx-many.txt"), "w"
-    ) as test_out:
+    def selected_lines(f):
         for graph_num, line in enumerate(f):
             if limit is not None and graph_num >= limit:
                 break
             if train_nums is not None and test_nums is not None:
                 if graph_num not in train_nums and graph_num not in test_nums:
                     continue
-            raw = json.loads(line)
-            items = tree_to_items(
-                raw, tokenizer, image_root=image_root,
-                max_length=max_length, start_idx=k,
-                image_size=image_size,
-            )
-            for item in items:
-                save_graph_npz(
-                    os.path.join(out_root, "processed", f"graph-{k}.npz"), item
+            yield graph_num, line
+
+    init_args = (tokenizer_name, vocab_size, image_root, max_length, image_size)
+
+    k = 0
+    with open(json_path) as f, open(
+        os.path.join(out_root, "train-idx-many.txt"), "w"
+    ) as train_out, open(
+        os.path.join(out_root, "test-idx-many.txt"), "w"
+    ) as test_out:
+
+        def consume(results):
+            nonlocal k
+            for graph_num, items in results:
+                for item in items:
+                    item = dataclasses.replace(item, idx=k)
+                    save_graph_npz(
+                        os.path.join(out_root, "processed", f"graph-{k}.npz"),
+                        item,
+                    )
+                    if test_nums is not None and graph_num in test_nums:
+                        test_out.write(f"{k}\n")
+                    else:
+                        train_out.write(f"{k}\n")
+                    k += 1
+                if log_every and graph_num % log_every == 0:
+                    print(f"graph {graph_num}: {k} copies written")
+
+        if workers and workers > 1:
+            import multiprocessing as mp
+
+            selected = list(selected_lines(f))
+            ctx = mp.get_context("fork" if hasattr(os, "fork") else "spawn")
+            with ctx.Pool(
+                workers, initializer=_ingest_worker_init, initargs=init_args
+            ) as pool:
+                consume(
+                    zip(
+                        (g for g, _ in selected),
+                        pool.imap(
+                            _ingest_worker,
+                            (l for _, l in selected),
+                            chunksize=8,
+                        ),
+                    )
                 )
-                if test_nums is not None and graph_num in test_nums:
-                    test_out.write(f"{k}\n")
-                else:
-                    train_out.write(f"{k}\n")
-                k += 1
-            if log_every and graph_num % log_every == 0:
-                print(f"graph {graph_num}: {k} copies written")
+        else:
+            _ingest_worker_init(*init_args)
+            consume(
+                (graph_num, _ingest_worker(line))
+                for graph_num, line in selected_lines(f)
+            )
     print(f"FINAL K {k}")
     return k
 
@@ -430,13 +484,14 @@ def main(argv=None) -> int:
     p.add_argument("--max-length", type=int, default=100)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--vocab-size", type=int, default=30522)
+    p.add_argument("--workers", type=int, default=0)
     args = p.parse_args(argv)
     process(
         args.json_path, args.out_root,
         train_idx_file=args.train_idx, test_idx_file=args.test_idx,
         tokenizer_name=args.tokenizer, image_root=args.image_root,
         max_length=args.max_length, limit=args.limit,
-        vocab_size=args.vocab_size,
+        vocab_size=args.vocab_size, workers=args.workers,
     )
     return 0
 

@@ -160,3 +160,36 @@ def test_process_end_to_end(tmp_path):
 
     batch = collate([ds.get(i) for i in range(4)], spatial_pos_max=5)
     assert batch.node_mask.sum() == 16
+
+
+def test_parallel_ingest_matches_serial(tmp_path):
+    """workers>1 must produce byte-identical outputs (same file names, same
+    arrays, same idx files) as the serial path — ordered imap + main-process
+    idx numbering (VERDICT r1 item 10)."""
+    raw = tmp_path / "raw.json"
+    with open(raw, "w") as f:
+        for i in range(9):
+            t = make_raw_tree()
+            t["id"] = f"t3_root{i}"
+            t["data"]["id"] = t["id"]
+            f.write(json.dumps(t) + "\n")
+
+    serial_root = str(tmp_path / "serial")
+    par_root = str(tmp_path / "parallel")
+    k1 = ingest.process(str(raw), serial_root, tokenizer_name="__offline__",
+                        vocab_size=512, log_every=0)
+    k2 = ingest.process(str(raw), par_root, tokenizer_name="__offline__",
+                        vocab_size=512, log_every=0, workers=3)
+    assert k1 == k2 > 0
+
+    for name in ("train-idx-many.txt", "test-idx-many.txt"):
+        with open(os.path.join(serial_root, name)) as a, open(
+            os.path.join(par_root, name)
+        ) as b:
+            assert a.read() == b.read()
+    for k in range(k1):
+        a = np.load(os.path.join(serial_root, "processed", f"graph-{k}.npz"))
+        b = np.load(os.path.join(par_root, "processed", f"graph-{k}.npz"))
+        assert sorted(a.files) == sorted(b.files)
+        for key in a.files:
+            np.testing.assert_array_equal(a[key], b[key], err_msg=f"{k}:{key}")

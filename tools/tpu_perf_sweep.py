@@ -1,0 +1,163 @@
+"""Perf sweep over canonical-train-step variants on the real TPU.
+
+Profiles the levers that change step time without changing numerics-per-
+example (VERDICT r1 items 3/8): remat on/off, Pallas tree attention on/off,
+node-bucket size. Prints one JSON line per variant:
+{"variant", "steps_per_sec", "disc_per_sec", "mfu", "flops_per_step"}.
+
+Usage: python tools/tpu_perf_sweep.py [--variants remat,noremat,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_variant(
+    name: str,
+    *,
+    remat: bool,
+    use_pallas: bool,
+    max_nodes: int = 32,
+    node_cap: int = 256,
+    img_cap: int = 64,
+    label_cap: int = 128,
+    batch: int = 12,
+    seq: int = 100,
+    min_window_sec: float = 12.0,
+):
+    import jax
+
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        DataConfig,
+        OptimConfig,
+        TaskConfig,
+        TrainConfig,
+    )
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+    from multimodaldiscussiontransformer_tpu.data.synthetic import (
+        synthetic_batch_items,
+    )
+    from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+    )
+    from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
+    from multimodaldiscussiontransformer_tpu.utils.flops import (
+        peak_flops,
+        train_step_flops,
+    )
+
+    cfg = TrainConfig(
+        data=DataConfig(
+            batch_size=batch,
+            node_buckets=(max_nodes,),
+            node_capacity_buckets=(node_cap,),
+            image_capacity_buckets=(img_cap,),
+            label_capacity_buckets=(label_cap,),
+        ),
+        optim=OptimConfig(update_freq=1),
+        task_cfg=TaskConfig(dataset_name="synthetic"),
+        dp_size=1,
+        tp_size=1,
+    )
+    cfg = cfg.replace(
+        model=cfg.model.replace(remat=remat, use_pallas_attention=use_pallas)
+    )
+    device = jax.devices()[0]
+    peak = peak_flops(device.device_kind)
+    flops = train_step_flops(
+        cfg.model,
+        batch=batch,
+        node_capacity=node_cap,
+        image_capacity=img_cap,
+        seq_len=seq,
+        max_nodes=max_nodes,
+    )
+
+    mesh = make_mesh(1, 1, devices=[device])
+    trainer = Trainer(cfg, mesh=mesh)
+    items = synthetic_batch_items(
+        batch, seed=0, min_nodes=max(2, max_nodes // 4), max_nodes=max_nodes,
+        seq_len=seq, vocab_size=cfg.model.text_tower.vocab_size,
+        image_prob=0.25, image_shape=(3, 224, 224),
+    )
+    host = collate(
+        items,
+        spatial_pos_max=cfg.task_cfg.spatial_pos_max,
+        node_buckets=(max_nodes,),
+        node_capacity_buckets=(node_cap,),
+        image_capacity_buckets=(img_cap,),
+        label_capacity_buckets=(label_cap,),
+    ).asdict()
+
+    state = trainer.init_state(host)
+    step = trainer._make_train_step()
+    with mesh:
+        jb = shard_batch(mesh, host)
+        for _ in range(3):
+            state, logs = step(state, jb)
+        loss0 = float(jax.device_get(logs["loss"]))
+        assert math.isfinite(loss0), loss0
+        # calibrate
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state, logs = step(state, jb)
+        float(jax.device_get(logs["loss"]))
+        cal = 5 / (time.perf_counter() - t0)
+        n = max(10, int(math.ceil(min_window_sec * cal)))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, logs = step(state, jb)
+        float(jax.device_get(logs["loss"]))
+        rate = n / (time.perf_counter() - t0)
+
+    out = {
+        "variant": name,
+        "steps_per_sec": round(rate, 4),
+        "disc_per_sec": round(rate * batch, 2),
+        "mfu": round(flops["train_total"] * rate / peak, 4),
+        "flops_per_step": round(flops["train_total"]),
+        "max_nodes": max_nodes,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+VARIANTS = {
+    "baseline_remat": dict(remat=True, use_pallas=False),
+    "noremat": dict(remat=False, use_pallas=False),
+    "pallas_remat": dict(remat=True, use_pallas=True),
+    "pallas_noremat": dict(remat=False, use_pallas=True),
+    "big_nodes128": dict(remat=True, use_pallas=False, max_nodes=128,
+                         node_cap=512, label_cap=256),
+    "big_nodes128_pallas": dict(remat=True, use_pallas=True, max_nodes=128,
+                                node_cap=512, label_cap=256),
+}
+
+
+def main() -> None:
+    from multimodaldiscussiontransformer_tpu.core.cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default="baseline_remat,noremat")
+    a = p.parse_args()
+    for name in a.variants.split(","):
+        try:
+            run_variant(name, **VARIANTS[name])
+        except Exception as e:  # keep sweeping past OOM/compile failures
+            print(json.dumps({"variant": name, "error": repr(e)[:300]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

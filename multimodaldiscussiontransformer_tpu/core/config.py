@@ -157,8 +157,12 @@ class ModelConfig:
     param_dtype: str = "float32"
     # use the Pallas fused biased-attention kernel for graph attention
     use_pallas_attention: bool = False
-    # rematerialize fusion+graph blocks to trade FLOPs for HBM
-    remat: bool = True
+    # rematerialize fusion+graph blocks to trade FLOPs for HBM. Off by
+    # default: the canonical config (batch 12/chip, 256-node capacity) fits
+    # v5e HBM comfortably and remat costs ~21% measured throughput
+    # (tools/tpu_perf_sweep.py r2: 42.3 vs 35.1 disc/s). Enable for
+    # bigger-than-HBM configs (large node buckets, big per-chip batches).
+    remat: bool = False
 
     @property
     def num_fusion_stacks(self) -> int:

@@ -100,12 +100,263 @@ def _make_kernel(scale: float, double_add: bool, num_heads: int):
     return kernel
 
 
+def _make_kernel_batched(scale: float, double_add: bool, num_heads: int, g: int):
+    """Small-S variant: one grid step computes G graphs x ALL heads.
+
+    At canonical tree sizes (S=33 -> padded 40) a per-(b,h) grid step is a
+    (40,64)x(64,40) matmul — far below MXU tile size — and re-runs the
+    LUT-select loop HxB times. Batching G graphs and all H heads per step
+    assembles the bias ONCE per graph for all heads (broadcast select) and
+    issues batched matmuls, measured ~30%% faster full-train-step at
+    Nmax=32 vs the per-(b,h) grid (tools/tpu_perf_sweep.py)."""
+
+    def kernel(lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref):
+        h = num_heads
+        gg, _, s, dh = q_ref.shape
+        q = q_ref[...].astype(jnp.float32) * scale  # (G, H, S, dh)
+        k = k_ref[...].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[...].astype(jnp.float32), MASK_BIAS)  # (G,S,S)
+        ids = ids_ref[...]  # (G, S, S)
+
+        # bias[g,h,i,j] = (2|1)*tpl[g,i,j] + lut[h, ids[g,i,j]]: one select
+        # sweep over the tiny id space covers every head via broadcast
+        spatial = jnp.zeros((gg, h, s, s), jnp.float32)
+        ids_b = ids[:, None, :, :]
+        lutm = lut_ref[...].astype(jnp.float32)  # (H, LUT_SIZE) in VMEM
+        for kk in range(1, LUT_SIZE):
+            row = lutm[:, kk].reshape(1, h, 1, 1)
+            spatial = spatial + jnp.where(ids_b == kk, row, 0.0)
+        bias = (2.0 if double_add else 1.0) * tpl[:, None] + spatial
+
+        qb = q.reshape(gg * h, s, dh)
+        kb = k.reshape(gg * h, s, dh)
+        vb = v.reshape(gg * h, s, dh)
+        scores = jax.lax.dot_general(
+            qb, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(gg, h, s, s) + bias
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), MASK_BIAS)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.reshape(gg * h, s, s).astype(vb.dtype), vb,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(gg, h, s, dh)
+        out_ref[...] = (acc / jnp.maximum(denom, 1e-30)).astype(out_ref.dtype)
+
+    return kernel
+
+
+# VMEM budget for the batched kernel's per-step working set (bytes)
+_BATCHED_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _graphs_per_step(h: int, s_pad: int, dh: int) -> int:
+    """Largest G whose per-step VMEM working set fits the budget."""
+    per_g = (
+        4 * h * s_pad * dh * 4  # q, k, v, out blocks (f32 upper bound)
+        + 2 * h * s_pad * s_pad * 4  # bias + scores
+        + 2 * s_pad * s_pad * 4  # template + ids
+    )
+    return max(1, _BATCHED_VMEM_BUDGET // per_g)
+
+
+def _tree_forward_batched(q, k, v, template, ids, lut, scale, double_add):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, h, s_pad, dh = q.shape
+    g = min(_graphs_per_step(h, s_pad, dh), bsz)
+    b_pad = -(-bsz // g) * g
+    if b_pad != bsz:
+        extra = b_pad - bsz
+        q, k, v = (
+            jnp.pad(x, [(0, extra), (0, 0), (0, 0), (0, 0)]) for x in (q, k, v)
+        )
+        template = jnp.pad(
+            template, [(0, extra), (0, 0), (0, 0)], constant_values=MASK_BIAS
+        )
+        ids = jnp.pad(ids, [(0, extra), (0, 0), (0, 0)])
+
+    out = pl.pallas_call(
+        _make_kernel_batched(scale, double_add, h, g),
+        grid=(b_pad // g,),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lut (H, LUT_SIZE)
+            pl.BlockSpec((g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s_pad, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s_pad, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b_pad * h * s_pad * s_pad * dh,
+            bytes_accessed=b_pad
+            * (3 * h * s_pad * dh * 2 + 2 * s_pad * s_pad * 4),
+            transcendentals=b_pad * h * s_pad * s_pad,
+        ),
+    )(jnp.asarray(lut.T), q, k, v, template, ids)
+    return out[:bsz]
+
+
+# flash path activates above this padded sequence length; tests lower it to
+# force the streaming kernel at toy sizes
+_FLASH_MIN_S = 513
+_FLASH_TILE = 256
+
+
+def _make_kernel_flash(scale: float, double_add: bool, nk: int):
+    """Streaming (flash) variant for S beyond the whole-S VMEM budget.
+
+    Grid (B*H, nq, nk), k innermost; the (TQ, dh) output accumulator plus
+    running max/denominator live in VMEM scratch and flush on the last k
+    tile — the (S, S) score matrix never materializes, so S is bounded by
+    HBM, not VMEM (the whole-S kernels cap near S~2k).
+
+    NOTE: the custom VJP's backward (_bwd) still materializes (B,H,S,S) in
+    XLA, so TRAINING at giant S is memory-bound there; this path primarily
+    serves inference/scoring of giant discussions. A streaming backward is
+    the remaining extension (TODO.md)."""
+
+    def kernel(
+        lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref,
+        acc_ref, m_ref, l_ref,
+    ):
+        from jax.experimental import pallas as pl
+
+        ik = pl.program_id(2)
+        head = pl.program_id(0) % lut_ref.shape[0]
+
+        @pl.when(ik == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, MASK_BIAS)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+        q = q_ref[0].astype(jnp.float32) * scale  # (TQ, dh)
+        k = k_ref[0].astype(jnp.float32)  # (TK, dh)
+        v = v_ref[0].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[0].astype(jnp.float32), MASK_BIAS)
+        ids = ids_ref[0]  # (TQ, TK)
+
+        spatial = jnp.zeros(ids.shape, jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(ids == kk, lut_ref[head, kk], 0.0)
+        bias = (2.0 if double_add else 1.0) * tpl + spatial
+
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias
+        )  # (TQ, TK)
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_new
+
+        @pl.when(ik == nk - 1)
+        def _flush():
+            out_ref[0] = (
+                acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+            ).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, h, s, dh = q.shape
+    tile = min(_FLASH_TILE, -(-s // 8) * 8)
+    s_pad = -(-s // tile) * tile
+    if s_pad != s:
+        pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
+        template = jnp.pad(
+            template, [(0, 0), (0, s_pad - s), (0, s_pad - s)],
+            constant_values=MASK_BIAS,
+        )
+        ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+    nq = nk = s_pad // tile
+
+    qf = q.reshape(bsz * h, s_pad, dh)
+    kf = k.reshape(bsz * h, s_pad, dh)
+    vf = v.reshape(bsz * h, s_pad, dh)
+
+    out = pl.pallas_call(
+        _make_kernel_flash(scale, double_add, nk),
+        grid=(bsz * h, nq, nk),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lut (H, LUT_SIZE)
+            pl.BlockSpec((1, tile, dh), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, dh), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, dh), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile, tile),
+                lambda bh, iq, ik, _h=h: (bh // _h, iq, ik),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, tile),
+                lambda bh, iq, ik, _h=h: (bh // _h, iq, ik),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, dh), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz * h, s_pad, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile, dh), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * h * s_pad * s_pad * dh,
+            bytes_accessed=bsz
+            * (3 * h * s_pad * dh * 2 + 2 * nq * s_pad * tile * 4),
+            transcendentals=bsz * h * s_pad * s_pad,
+        ),
+    )(jnp.asarray(lut.T), qf, kf, vf, template, ids)
+    out = out.reshape(bsz, h, s_pad, dh)
+    return out[:, :, :s, :] if s_pad != s else out
+
+
 def _tree_forward(q, k, v, template, ids, lut, scale, double_add):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bsz, h, s, dh = q.shape
     s_pad = -(-s // 8) * 8
+    if s_pad >= _FLASH_MIN_S:
+        # giant-S: streaming kernel — the (S, S) score matrix never
+        # materializes, so S is bounded by HBM instead of VMEM
+        return _tree_forward_flash(
+            q, k, v, template, ids, lut, scale, double_add
+        )
     if s_pad != s:
         pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
         q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
@@ -115,6 +366,15 @@ def _tree_forward(q, k, v, template, ids, lut, scale, double_add):
         )
         # padded positions: id 0 -> lut 0 contribution
         ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+
+    if s_pad <= 128:
+        # small-S: G-graphs-x-all-heads batched kernel (bias assembled once
+        # per graph, batched MXU matmuls); big-S keeps the per-(b,h) grid
+        # whose whole-S working set would not fit the batched VMEM budget
+        out = _tree_forward_batched(
+            q, k, v, template, ids, lut, scale, double_add
+        )
+        return out[:, :, :s, :] if s_pad != s else out
 
     def qkv_map(b, hh):
         return (b, hh, 0, 0)

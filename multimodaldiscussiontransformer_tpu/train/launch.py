@@ -102,6 +102,14 @@ def build_parser() -> argparse.ArgumentParser:
     # batching (TPU-native additions)
     p.add_argument("--length-grouped", action="store_true", default=False,
                    help="group similar-length discussions per batch")
+    # compute policy (TPU-native additions)
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize fusion+graph blocks (enable for "
+                        "bigger-than-HBM configs; costs ~21%% throughput)")
+    p.add_argument("--use-pallas-attention", action="store_true",
+                   default=False,
+                   help="fused Pallas tree-attention kernel (wins at big "
+                        "node buckets)")
     # smoke-run conveniences
     p.add_argument("--synthetic", action="store_true", default=False)
     p.add_argument("--tiny", action="store_true", default=False,
@@ -162,6 +170,8 @@ def config_from_args(args) -> "TrainConfig":
             freeze_initial_encoders=args.freeze_initial_encoders,
             num_classes=args.num_classes if args.num_classes > 1 else 2,
             dtype=args.dtype,
+            remat=args.remat,
+            use_pallas_attention=args.use_pallas_attention,
             text_encoder_name=args.text_encoder,
             image_encoder_name=args.image_encoder,
             text_tower=_dc.replace(

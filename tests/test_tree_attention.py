@@ -133,3 +133,45 @@ def test_shard_map_dispatch_on_mesh(monkeypatch):
             lambda *a: ta.tree_attention(*a, use_pallas=True)
         )(*args, lut_r)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=1e-5)
+
+
+def _rand_inputs(seed, b, h, s, dh):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    template = jnp.where(
+        jnp.asarray(rng.random((b, s, s))) < 0.15, ta.MASK_BIAS, 0.0
+    ).astype(jnp.float32)
+    template = template.at[:, :, 0].set(0.0)  # graph-token col never masked
+    ids = jnp.asarray(rng.integers(0, ta.LUT_SIZE, (b, s, s)), jnp.int32)
+    lut = jnp.asarray(rng.standard_normal((ta.LUT_SIZE, h)), jnp.float32)
+    lut = lut.at[0].set(0.0)
+    return q, k, v, template, ids, lut
+
+
+def test_batched_small_s_kernel_matches_reference():
+    """The G-graphs-x-all-heads kernel (s_pad <= 128 path), incl. a batch
+    size that does not divide the graphs-per-step block."""
+    q, k, v, template, ids, lut = _rand_inputs(5, b=5, h=3, s=17, dh=8)
+    scale = q.shape[-1] ** -0.5
+    ref = ta.tree_attention_reference(q, k, v, template, ids, lut, scale, True)
+    got = ta._tree_forward(q, k, v, template, ids, lut, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_streaming_kernel_matches_reference(monkeypatch):
+    """The streaming kernel (giant-S path), forced at a toy size with a
+    tile smaller than S so the online-softmax accumulation is exercised
+    across multiple k tiles."""
+    monkeypatch.setattr(ta, "_FLASH_MIN_S", 16)
+    monkeypatch.setattr(ta, "_FLASH_TILE", 16)
+    q, k, v, template, ids, lut = _rand_inputs(6, b=2, h=2, s=40, dh=8)
+    scale = q.shape[-1] ** -0.5
+    ref = ta.tree_attention_reference(q, k, v, template, ids, lut, scale, True)
+    got = ta._tree_forward(q, k, v, template, ids, lut, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

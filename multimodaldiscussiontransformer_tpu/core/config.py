@@ -348,6 +348,11 @@ class TrainConfig:
     # mesh geometry
     dp_size: int = -1  # -1: all devices
     tp_size: int = 1
+    # ZeRO-3-style parameter/optimizer-state sharding over the dp axis
+    # (absent in the reference, FSDP only mentioned at
+    # multigraphormer_graph_encoder.py:24; ~300M params fit one chip, so
+    # this is for big-model/many-chip configs)
+    fsdp: bool = False
     optim: OptimConfig = field(default_factory=OptimConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)

@@ -111,8 +111,14 @@ def _spec_for_path(path: str) -> P:
     return P()
 
 
-def param_sharding(mesh: Mesh, params: Any) -> Any:
-    """PyTree of NamedShardings matching ``params``."""
+def param_sharding(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
+    """PyTree of NamedShardings matching ``params``.
+
+    ``fsdp=True`` additionally shards every large matrix over the dp axis
+    (ZeRO-3 style: each dp rank stores 1/dp of the weights + optimizer
+    state; XLA/GSPMD inserts the per-layer all-gathers in forward/backward
+    and the reduce-scatter on gradients automatically). tp rules win where
+    both apply; dims that don't divide stay replicated."""
 
     def path_str(path) -> str:
         parts = []
@@ -125,23 +131,35 @@ def param_sharding(mesh: Mesh, params: Any) -> Any:
                 parts.append(str(p))
         return "/".join(parts)
 
-    def spec(path, leaf) -> NamedSharding:
-        if mesh.shape[TP_AXIS] == 1:
-            return NamedSharding(mesh, P())
-        s = _spec_for_path(path_str(path))
-        # drop specs that don't divide evenly (tiny test configs)
-        if any(
-            ax is not None
-            and leaf.shape[i] % mesh.shape[ax] != 0
+    def divides(leaf, s: P) -> bool:
+        return not any(
+            ax is not None and leaf.shape[i] % mesh.shape[ax] != 0
             for i, ax in enumerate(s)
-        ):
-            return NamedSharding(mesh, P())
+        )
+
+    def spec(path, leaf) -> NamedSharding:
+        s = P()
+        if mesh.shape[TP_AXIS] > 1:
+            s = _spec_for_path(path_str(path))
+            if not divides(leaf, s):  # tiny test configs
+                s = P()
+        if fsdp and mesh.shape[DP_AXIS] > 1 and leaf.ndim >= 2:
+            # shard the largest dim not already taken by tp
+            dims = list(s) + [None] * (leaf.ndim - len(s))
+            order = sorted(
+                range(leaf.ndim), key=lambda i: leaf.shape[i], reverse=True
+            )
+            for i in order:
+                if dims[i] is None and leaf.shape[i] % mesh.shape[DP_AXIS] == 0:
+                    dims[i] = DP_AXIS
+                    break
+            s = P(*dims)
         return NamedSharding(mesh, s)
 
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def shard_params(mesh: Mesh, params: Any) -> Any:
-    """Device-put a param pytree with tp sharding rules applied."""
-    shardings = param_sharding(mesh, params)
+def shard_params(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
+    """Device-put a param pytree with tp (and optional fsdp) rules."""
+    shardings = param_sharding(mesh, params, fsdp=fsdp)
     return jax.tree.map(jax.device_put, params, shardings)

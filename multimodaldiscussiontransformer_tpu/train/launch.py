@@ -94,6 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
     # mesh
     p.add_argument("--dp-size", type=int, default=-1)
     p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="shard params + optimizer state over the dp axis")
     # HF initialization (the reference downloads pretrained towers at model
     # build time, multigraphormer_graph_encoder.py:236-245)
     p.add_argument("--hf-init", action="store_true", default=False)
@@ -213,6 +215,7 @@ def config_from_args(args) -> "TrainConfig":
         multiplication_scale=args.multiplication_scale,
         dp_size=args.dp_size,
         tp_size=args.tp_size,
+        fsdp=args.fsdp,
         optim=OptimConfig(
             lr=args.lr,
             end_learning_rate=args.end_learning_rate,

@@ -118,7 +118,7 @@ class Trainer:
         init_rng, state_rng = jax.random.split(rng)
         jb = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         params = self.model.init(init_rng, jb, deterministic=True)
-        params = shard_params(self.mesh, params)
+        params = shard_params(self.mesh, params, fsdp=self.cfg.fsdp)
         self.tx = make_optimizer(
             self.cfg.optim,
             params,
@@ -136,7 +136,7 @@ class Trainer:
     def load_params(self, state: TrainState, params: Any) -> TrainState:
         """Swap in externally-built params (HF import / checkpoint restore);
         re-inits optimizer state (the --reset-optimizer path, run_train.sh:63)."""
-        params = shard_params(self.mesh, params)
+        params = shard_params(self.mesh, params, fsdp=self.cfg.fsdp)
         self.tx = make_optimizer(
             self.cfg.optim,
             params,

@@ -158,3 +158,57 @@ def test_tp_sharding_matches_dp_only():
     np.testing.assert_allclose(
         float(logs_dp["loss"]), float(logs_tp["loss"]), rtol=2e-4
     )
+
+
+def test_fsdp_matches_dp_only():
+    """ZeRO-3-style param sharding over dp (cfg.fsdp) must be numerically
+    identical to replicated params: same params, same batch -> same eval
+    loss; params/optimizer state actually sharded over dp."""
+    from jax.sharding import PartitionSpec as P
+
+    from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+        param_sharding,
+        shard_batch,
+    )
+
+    cfg = tiny_train_cfg()
+    ds = synthetic_dataset(num_graphs=48, seed=7, **SYN)
+
+    t_rep = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+    batches = list(t_rep.train_batches(ds, epoch=1))
+    state = t_rep.init_state(batches[0].asdict())
+    ev_rep = t_rep._make_eval_step()
+
+    cfg_fsdp = tiny_train_cfg(fsdp=True)
+    t_f = Trainer(cfg_fsdp, mesh=make_mesh(4, 1), image_shape=IMG)
+    t_f.tx = t_rep.tx
+    ev_f = t_f._make_eval_step()
+
+    shardings = param_sharding(t_f.mesh, state.params, fsdp=True)
+    specs = [s.spec for s in jax.tree.leaves(shardings)]
+    assert any(spec != P() for spec in specs), "no param was dp-sharded"
+    params_f = jax.tree.map(jax.device_put, state.params, shardings)
+
+    b = batches[0].asdict()
+    with t_rep.mesh:
+        logs_rep = jax.device_get(
+            ev_rep(state.params, shard_batch(t_rep.mesh, b))
+        )
+    with t_f.mesh:
+        logs_f = jax.device_get(ev_f(params_f, shard_batch(t_f.mesh, b)))
+    np.testing.assert_allclose(
+        float(logs_rep["loss"]), float(logs_f["loss"]), rtol=2e-4
+    )
+
+    # and one train step runs with sharded params + sharded opt state
+    state_f = t_f.init_state(batches[0].asdict())
+    opt_specs = {
+        getattr(s.sharding, "spec", P())
+        for s in jax.tree.leaves(state_f.opt_state)
+        if hasattr(s, "sharding")
+    }
+    assert any(spec != P() for spec in opt_specs), "optimizer state replicated"
+    step = t_f._make_train_step()
+    with t_f.mesh:
+        state_f, logs = step(state_f, shard_batch(t_f.mesh, b))
+    assert np.isfinite(float(logs["loss"]))

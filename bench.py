@@ -250,6 +250,62 @@ def main() -> None:
             infer_rate = n_inf / (time.perf_counter() - t0)
             infer_mfu = flops["infer_total"] * infer_rate / peak
 
+    # big-tree bucket (VERDICT r1 weak 7): canonical batch at Nmax=128 — the
+    # regime where the fused tree-attention kernel matters — one short
+    # fenced window
+    big = {}
+    try:
+        from multimodaldiscussiontransformer_tpu.data.collator import collate
+        from multimodaldiscussiontransformer_tpu.data.synthetic import (
+            synthetic_batch_items,
+        )
+
+        BIG_NODES, BIG_CAP, BIG_LCAP = 128, 512, 256
+        big_cfg = cfg.replace(
+            data=DataConfig(
+                batch_size=BATCH,
+                node_buckets=(BIG_NODES,),
+                node_capacity_buckets=(BIG_CAP,),
+                image_capacity_buckets=(IMG_CAP,),
+                label_capacity_buckets=(BIG_LCAP,),
+            ),
+        )
+        big_flops = train_step_flops(
+            big_cfg.model,
+            batch=BATCH, node_capacity=BIG_CAP, image_capacity=IMG_CAP,
+            seq_len=SEQ, max_nodes=BIG_NODES,
+        )
+        big_trainer = Trainer(big_cfg, mesh=mesh)
+        big_items = synthetic_batch_items(
+            BATCH, seed=0, min_nodes=32, max_nodes=BIG_NODES, seq_len=SEQ,
+            vocab_size=big_cfg.model.text_tower.vocab_size, image_prob=0.1,
+            image_shape=(3, 224, 224),
+        )
+        big_host = collate(
+            big_items, spatial_pos_max=big_cfg.task_cfg.spatial_pos_max,
+            node_buckets=(BIG_NODES,), node_capacity_buckets=(BIG_CAP,),
+            image_capacity_buckets=(IMG_CAP,),
+            label_capacity_buckets=(BIG_LCAP,),
+        ).asdict()
+        big_state = big_trainer.init_state(big_host)
+        big_step = big_trainer._make_train_step()
+        with mesh:
+            bjb = shard_batch(mesh, big_host)
+            for _ in range(2):
+                big_state, blogs = big_step(big_state, bjb)
+            _loss_value(blogs)
+            big_state, rate, blosses = _timed_window(
+                big_step, big_state, [bjb], 8
+            )
+        assert all(math.isfinite(v) for v in blosses)
+        big = {
+            "bigtree_nmax": BIG_NODES,
+            "bigtree_throughput": round(rate * BATCH, 3),
+            "bigtree_mfu": round(big_flops["train_total"] * rate / peak, 4),
+        }
+    except Exception as e:  # the headline metric must survive big-tree issues
+        big = {"bigtree_error": repr(e)[:200]}
+
     discussions_per_sec = steps_per_sec * BATCH
     print(
         json.dumps(
@@ -276,6 +332,7 @@ def main() -> None:
                 "infer_throughput": round(infer_rate * BATCH, 3),
                 "infer_unit": "discussions/sec/chip",
                 "infer_mfu": round(infer_mfu, 4),
+                **big,
             }
         )
     )

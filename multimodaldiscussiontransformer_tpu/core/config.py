@@ -155,8 +155,13 @@ class ModelConfig:
     # compute policy (TPU-native replacement for the reference's --fp16)
     dtype: str = "bfloat16"  # activation/compute dtype
     param_dtype: str = "float32"
-    # use the Pallas fused biased-attention kernel for graph attention
-    use_pallas_attention: bool = False
+    # use the Pallas fused biased-attention kernel for graph attention.
+    # Default ON (round-2 measurements, tools/tpu_perf_sweep.py +
+    # tools/tpu_tree_attention_check.py): full-train-step parity with the
+    # XLA path at Nmax=32 (42.3 = 42.3 disc/s) and Nmax=128 (7.9 vs 7.8),
+    # standalone 3x faster at S>=257, and the streaming variant extends
+    # S past VMEM. Off-TPU backends transparently fall back to XLA.
+    use_pallas_attention: bool = True
     # rematerialize fusion+graph blocks to trade FLOPs for HBM. Off by
     # default: the canonical config (batch 12/chip, 256-node capacity) fits
     # v5e HBM comfortably and remat costs ~21% measured throughput

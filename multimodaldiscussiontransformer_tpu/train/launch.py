@@ -108,10 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize fusion+graph blocks (enable for "
                         "bigger-than-HBM configs; costs ~21%% throughput)")
-    p.add_argument("--use-pallas-attention", action="store_true",
-                   default=False,
-                   help="fused Pallas tree-attention kernel (wins at big "
-                        "node buckets)")
+    p.add_argument("--use-pallas-attention", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fused Pallas tree-attention kernel (default on; "
+                        "--no-use-pallas-attention for the XLA path)")
     # smoke-run conveniences
     p.add_argument("--synthetic", action="store_true", default=False)
     p.add_argument("--tiny", action="store_true", default=False,

@@ -134,12 +134,20 @@ def run_variant(
 VARIANTS = {
     "baseline_remat": dict(remat=True, use_pallas=False),
     "noremat": dict(remat=False, use_pallas=False),
+    # run rbg_noremat in its own process: flips the global PRNG impl
+    "rbg_noremat": dict(remat=False, use_pallas=False),
     "pallas_remat": dict(remat=True, use_pallas=True),
     "pallas_noremat": dict(remat=False, use_pallas=True),
     "big_nodes128": dict(remat=True, use_pallas=False, max_nodes=128,
                          node_cap=512, label_cap=256),
     "big_nodes128_pallas": dict(remat=True, use_pallas=True, max_nodes=128,
                                 node_cap=512, label_cap=256),
+    "big_nodes256": dict(remat=True, use_pallas=False, max_nodes=256,
+                         node_cap=512, label_cap=256, batch=8,
+                         min_window_sec=8.0),
+    "big_nodes256_pallas": dict(remat=True, use_pallas=True, max_nodes=256,
+                                node_cap=512, label_cap=256, batch=8,
+                                min_window_sec=8.0),
 }
 
 
@@ -152,6 +160,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--variants", default="baseline_remat,noremat")
     a = p.parse_args()
+    if "rbg" in a.variants:
+        # hardware-RNG dropout masks instead of threefry (numerics: different
+        # but equally-distributed masks; the model is dropout-heavy)
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
     for name in a.variants.split(","):
         try:
             run_variant(name, **VARIANTS[name])

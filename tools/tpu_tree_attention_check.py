@@ -54,6 +54,23 @@ def main() -> int:
             # the XLA path after many resident programs; retry once
             print(f"  (oracle returned non-finite values at s={s}; retrying)")
             oracle = oracle_once()
+        if not np.isfinite(oracle).all():
+            # still garbage: fall back to a host-side numpy oracle so the
+            # kernel is judged against trustworthy values
+            print(f"  (device oracle still non-finite at s={s}; numpy oracle)")
+            bias = np.take(lut, ids, axis=0).transpose(0, 3, 1, 2) + (
+                2.0 * np.maximum(template, ta.MASK_BIAS)[:, None]
+            )
+            scores = (
+                np.einsum("bhqd,bhkd->bhqk", q * scale, k, dtype=np.float64)
+                + bias
+            )
+            m = scores.max(-1, keepdims=True)
+            p = np.exp(scores - m)
+            p /= p.sum(-1, keepdims=True)
+            oracle = np.einsum(
+                "bhqk,bhkd->bhqd", p, v, dtype=np.float64
+            ).astype(np.float32)
         out = np.asarray(fused(*args))
         err = np.abs(out - oracle).max()
         ok = err < 2e-2 and np.isfinite(out).all()

@@ -142,9 +142,53 @@ def main() -> None:
         fence(logs["loss"])
         results["full_step"] = (time.perf_counter() - t0) / n
 
+        # input pipeline: steps driven through the threaded prefetch loader
+        # (fresh host collation + device_put per step) vs pre-staged batches
+        # — if rates match, "the TPU never waits on input" holds
+        from multimodaldiscussiontransformer_tpu.data.loader import (
+            ThreadedPrefetcher,
+        )
+
+        def host_batches(n):
+            for i in range(n):
+                items = synthetic_batch_items(
+                    BATCH, seed=100 + i, min_nodes=8, max_nodes=MAX_NODES,
+                    seq_len=SEQ,
+                    vocab_size=cfg.model.text_tower.vocab_size,
+                    image_prob=0.25, image_shape=(3, 224, 224),
+                )
+                yield collate(
+                    items, spatial_pos_max=cfg.task_cfg.spatial_pos_max,
+                    node_buckets=(MAX_NODES,),
+                    node_capacity_buckets=(NODE_CAP,),
+                    image_capacity_buckets=(IMG_CAP,),
+                    label_capacity_buckets=(LABEL_CAP,),
+                )
+
+        n_piped = 20
+        pf = ThreadedPrefetcher(
+            host_batches(n_piped), lambda hb: shard_batch(mesh, hb), depth=2
+        )
+        it = iter(pf)
+        first = next(it)  # let the worker warm up
+        s, logs = step(s, first)
+        fence(logs["loss"])
+        t0 = time.perf_counter()
+        n_run = 0
+        for db in it:
+            s, logs = step(s, db)
+            n_run += 1
+        fence(logs["loss"])
+        results["full_step_prefetched_input"] = (
+            time.perf_counter() - t0
+        ) / max(n_run, 1)
+
     results = {k: round(v * 1000, 2) for k, v in results.items()}
     results["optimizer_overhead_ms"] = round(
         results["full_step"] - results["loss_fwd_bwd"], 2
+    )
+    results["input_pipeline_overhead_ms"] = round(
+        results["full_step_prefetched_input"] - results["full_step"], 2
     )
     print(json.dumps(results))
 

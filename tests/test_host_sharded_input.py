@@ -121,3 +121,21 @@ def test_put_host_local_rejects_single_process():
     mesh = make_mesh(2, 1)
     with pytest.raises(ValueError, match="process_count"):
         put_host_local(mesh, local, host_index=0, host_count=2)
+
+
+def test_distributed_helpers_single_process():
+    """parallel.distributed: single-process behavior of the multi-host
+    wrappers (initialize no-op, process_info identity, per-host index
+    slicing degenerate case)."""
+    import numpy as np
+
+    from multimodaldiscussiontransformer_tpu.parallel import distributed
+
+    distributed.initialize(num_processes=1)  # must be a no-op
+    pid, pcount, local, global_ = distributed.process_info()
+    assert pid == 0 and pcount == 1
+    assert local == global_ == len(jax.devices())
+
+    idx = np.arange(12)
+    out = distributed.per_host_batch_indices(idx, batch_size=12)
+    np.testing.assert_array_equal(out, idx)

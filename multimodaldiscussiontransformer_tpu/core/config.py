@@ -353,6 +353,13 @@ class TrainConfig:
     # mesh geometry
     dp_size: int = -1  # -1: all devices
     tp_size: int = 1
+    # Generate dropout masks with the TPU hardware RNG (rbg) instead of
+    # threefry: the model is dropout-heavy (0.4/0.3/0.3 on every layer) and
+    # threefry bits are compute-bound on TPU — measured +16% train
+    # throughput (tools/tpu_perf_sweep.py rbg_noremat: 49.1 vs 42.3
+    # disc/s). TrainState.rng stays a threefry key (checkpoint-compatible);
+    # only the per-step dropout chain is wrapped to rbg.
+    fast_dropout_rng: bool = True
     # ZeRO-3-style parameter/optimizer-state sharding over the dp axis
     # (absent in the reference, FSDP only mentioned at
     # multigraphormer_graph_encoder.py:24; ~300M params fit one chip, so

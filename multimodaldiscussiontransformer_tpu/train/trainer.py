@@ -149,9 +149,16 @@ class Trainer:
     def _make_train_step(self):
         model, criterion, tx = self.model, self.criterion, self.tx
 
+        fast_rng = self.cfg.fast_dropout_rng
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
             rng, step_rng = jax.random.split(state.rng)
+            if fast_rng:
+                # hardware-RNG dropout bits (see TrainConfig.fast_dropout_rng)
+                step_rng = jax.random.wrap_key_data(
+                    jnp.tile(step_rng, 2), impl="rbg"
+                )
 
             def loss_fn(params):
                 out = model.apply(

@@ -169,18 +169,19 @@ def main() -> None:
     device = jax.devices()[0]
     chip = device.device_kind
     peak = peak_flops(chip)
-    flops = train_step_flops(
-        cfg.model,
-        batch=BATCH,
-        node_capacity=NODE_CAP,
-        image_capacity=IMG_CAP,
-        seq_len=SEQ,
-        max_nodes=MAX_NODES,
-    )
 
     mesh = make_mesh(1, 1, devices=[device])
     trainer = Trainer(cfg, mesh=mesh)
     host_batches = _build(cfg, mesh)
+    # FLOPs from the ACTUAL collated capacities
+    flops = train_step_flops(
+        cfg.model,
+        batch=BATCH,
+        node_capacity=host_batches[0]["input_ids"].shape[0],
+        image_capacity=host_batches[0]["images"].shape[0],
+        seq_len=host_batches[0]["input_ids"].shape[1],
+        max_nodes=host_batches[0]["in_degree"].shape[1],
+    )
 
     state = trainer.init_state(host_batches[0])
     step = trainer._make_train_step()
@@ -270,11 +271,6 @@ def main() -> None:
                 label_capacity_buckets=(BIG_LCAP,),
             ),
         )
-        big_flops = train_step_flops(
-            big_cfg.model,
-            batch=BATCH, node_capacity=BIG_CAP, image_capacity=IMG_CAP,
-            seq_len=SEQ, max_nodes=BIG_NODES,
-        )
         big_trainer = Trainer(big_cfg, mesh=mesh)
         big_items = synthetic_batch_items(
             BATCH, seed=0, min_nodes=32, max_nodes=BIG_NODES, seq_len=SEQ,
@@ -287,6 +283,14 @@ def main() -> None:
             image_capacity_buckets=(IMG_CAP,),
             label_capacity_buckets=(BIG_LCAP,),
         ).asdict()
+        big_flops = train_step_flops(
+            big_cfg.model,
+            batch=BATCH,
+            node_capacity=big_host["input_ids"].shape[0],
+            image_capacity=big_host["images"].shape[0],
+            seq_len=big_host["input_ids"].shape[1],
+            max_nodes=big_host["in_degree"].shape[1],
+        )
         big_state = big_trainer.init_state(big_host)
         big_step = big_trainer._make_train_step()
         with mesh:

@@ -73,14 +73,6 @@ def run_variant(
     )
     device = jax.devices()[0]
     peak = peak_flops(device.device_kind)
-    flops = train_step_flops(
-        cfg.model,
-        batch=batch,
-        node_capacity=node_cap,
-        image_capacity=img_cap,
-        seq_len=seq,
-        max_nodes=max_nodes,
-    )
 
     mesh = make_mesh(1, 1, devices=[device])
     trainer = Trainer(cfg, mesh=mesh)
@@ -97,6 +89,17 @@ def run_variant(
         image_capacity_buckets=(img_cap,),
         label_capacity_buckets=(label_cap,),
     ).asdict()
+
+    # FLOPs from the ACTUAL collated capacities (the bucket ladder rounds up
+    # past its last entry when the batch's real node count exceeds it)
+    flops = train_step_flops(
+        cfg.model,
+        batch=batch,
+        node_capacity=host["input_ids"].shape[0],
+        image_capacity=host["images"].shape[0],
+        seq_len=host["input_ids"].shape[1],
+        max_nodes=host["in_degree"].shape[1],
+    )
 
     state = trainer.init_state(host)
     step = trainer._make_train_step()

@@ -598,6 +598,172 @@ def _make_dropout_bwd_kernel(scale, double_add, num_heads, rate):
     return kernel
 
 
+def _dropout_graphs_per_step(h: int, s_pad: int, dh: int) -> int:
+    """Graphs per grid step for the BATCHED dropout kernels. Shared by
+    forward and backward — the PRNG mask is a function of
+    (seed + step_index) over a (G, H, S, S) bits block, so fwd/bwd must
+    tile B identically to regenerate the same mask. Sized for the
+    backward's (larger) working set."""
+    per_g = (
+        7 * h * s_pad * dh * 4  # q, k, v, g, dq, dk, dv
+        + 2 * s_pad * s_pad * 4  # template + ids
+        + 5 * h * s_pad * s_pad * 4  # scores/exp/probs/ds/bits
+    )
+    return max(1, _BATCHED_VMEM_BUDGET // per_g)
+
+
+def _make_dropout_fwd_kernel_batched(scale, double_add, num_heads, rate, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref):
+        h = num_heads
+        gg, _, s, dh = q_ref.shape
+        i = pl.program_id(0)
+        q = q_ref[...].astype(jnp.float32) * scale
+        k = k_ref[...].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[...].astype(jnp.float32), MASK_BIAS)
+        ids = ids_ref[...]
+
+        spatial = jnp.zeros((gg, h, s, s), jnp.float32)
+        ids_b = ids[:, None, :, :]
+        lutm = lut_ref[...].astype(jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(
+                ids_b == kk, lutm[:, kk].reshape(1, h, 1, 1), 0.0
+            )
+        bias = (2.0 if double_add else 1.0) * tpl[:, None] + spatial
+
+        qb = q.reshape(gg * h, s, dh)
+        kb = k.reshape(gg * h, s, dh)
+        vb = v.reshape(gg * h, s, dh)
+        scores = jax.lax.dot_general(
+            qb, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(gg, h, s, s) + bias
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), MASK_BIAS)
+        p = jnp.exp(scores - m)
+        denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+
+        pltpu.prng_seed(seed_ref[0] + i)
+        # 2D generation (Mosaic rejects 4D PRNG output layouts), then a
+        # free row-major split of the leading dim
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((gg * h * s, s)), jnp.uint32
+        ).reshape(gg, h, s, s)
+        threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+        p = jnp.where(bits >= threshold, p, 0.0) / (1.0 - rate)
+
+        acc = jax.lax.dot_general(
+            p.reshape(gg * h, s, s), vb, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(gg, h, s, dh)
+        out_ref[...] = (acc / denom).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _make_dropout_bwd_kernel_batched(scale, double_add, num_heads, rate, g, hpad):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(
+        lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref,
+        dq_ref, dk_ref, dv_ref, dlut_ref,
+    ):
+        h = num_heads
+        gg, _, s, dh = q_ref.shape
+        i = pl.program_id(0)
+        q = q_ref[...].astype(jnp.float32)
+        k = k_ref[...].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        gr = g_ref[...].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[...].astype(jnp.float32), MASK_BIAS)
+        ids = ids_ref[...]
+
+        spatial = jnp.zeros((gg, h, s, s), jnp.float32)
+        ids_b = ids[:, None, :, :]
+        lutm = lut_ref[...].astype(jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(
+                ids_b == kk, lutm[:, kk].reshape(1, h, 1, 1), 0.0
+            )
+        qb = (q * scale).reshape(gg * h, s, dh)
+        kb = k.reshape(gg * h, s, dh)
+        scores = jax.lax.dot_general(
+            qb, kb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(gg, h, s, s) + (
+            (2.0 if double_add else 1.0) * tpl[:, None] + spatial
+        )
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), MASK_BIAS)
+        e = jnp.exp(scores - m)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        p_norm = e / denom
+
+        # IDENTICAL mask to the batched forward: (seed + step, same 2D
+        # generation shape + reshape)
+        pltpu.prng_seed(seed_ref[0] + i)
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((gg * h * s, s)), jnp.uint32
+        ).reshape(gg, h, s, s)
+        keep = bits >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p_norm, 0.0) * inv
+
+        grb = gr.reshape(gg * h, s, dh)
+        vb = v.reshape(gg * h, s, dh)
+        dv_ref[...] = jax.lax.dot_general(
+            pd.reshape(gg * h, s, s), grb, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(gg, h, s, dh).astype(dv_ref.dtype)
+        dpd = jax.lax.dot_general(
+            grb, vb, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(gg, h, s, s)
+        dp_norm = jnp.where(keep, dpd, 0.0) * inv
+        ds = p_norm * (
+            dp_norm - jnp.sum(dp_norm * p_norm, axis=-1, keepdims=True)
+        )
+        dsb = ds.reshape(gg * h, s, s)
+        dq_ref[...] = (
+            jax.lax.dot_general(
+                dsb, kb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(gg, h, s, dh)
+            * scale
+        ).astype(dq_ref.dtype)
+        # dk contracts with qb = q * scale, so the scale is already applied
+        dk_ref[...] = (
+            jax.lax.dot_general(
+                dsb, qb, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(gg, h, s, dh)
+        ).astype(dk_ref.dtype)
+
+        # d_lut page (hpad, 128): row = head, col = lut id; accumulated
+        # across the grid (per-graph contributions summed in-step)
+        @pl.when(i == 0)
+        def _():
+            dlut_ref[...] = jnp.zeros_like(dlut_ref)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (hpad, 128), 1)
+        page = jnp.zeros((hpad, 128), jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            # single-axis reductions only (Mosaic cannot lower multi-axis
+            # vector reductions over 4D operands)
+            mk = jnp.where(ids_b == kk, ds, 0.0)  # (G, H, S, S)
+            contrib = jnp.sum(jnp.sum(jnp.sum(mk, axis=-1), axis=-1), axis=0)
+            contrib = jnp.concatenate(
+                [contrib, jnp.zeros((hpad - h,), jnp.float32)]
+            ).reshape(hpad, 1)
+            page = page + jnp.where(col == kk, contrib, 0.0)
+        dlut_ref[...] = dlut_ref[...] + page
+
+    return kernel
+
+
 def _dropout_forward(q, k, v, template, ids, lut, seed, rate, scale, double_add):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -612,6 +778,43 @@ def _dropout_forward(q, k, v, template, ids, lut, seed, rate, scale, double_add)
             constant_values=MASK_BIAS,
         )
         ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+
+    if s_pad <= 128:
+        g = min(_dropout_graphs_per_step(h, s_pad, dh), bsz)
+        b_pad = -(-bsz // g) * g
+        if b_pad != bsz:
+            extra = b_pad - bsz
+            q, k, v = (
+                jnp.pad(x, [(0, extra), (0, 0), (0, 0), (0, 0)])
+                for x in (q, k, v)
+            )
+            template = jnp.pad(
+                template, [(0, extra), (0, 0), (0, 0)],
+                constant_values=MASK_BIAS,
+            )
+            ids = jnp.pad(ids, [(0, extra), (0, 0), (0, 0)])
+        out = pl.pallas_call(
+            _make_dropout_fwd_kernel_batched(scale, double_add, h, rate, g),
+            grid=(b_pad // g,),
+            interpret=jax.default_backend() == "cpu",
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # lut
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+                pl.BlockSpec((g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, s_pad, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, s_pad, s_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (g, h, s_pad, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), q.dtype),
+        )(jnp.asarray(lut.T), seed.reshape(1), q, k, v, template, ids)
+        return out[:bsz, :, :s, :]
 
     def qkv_map(b, hh):
         return (b, hh, 0, 0)
@@ -655,6 +858,60 @@ def _dropout_backward(q, k, v, template, ids, lut, seed, g, rate, scale, double_
             constant_values=MASK_BIAS,
         )
         ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+
+    if s_pad <= 128:
+        g_per = min(_dropout_graphs_per_step(h, s_pad, dh), bsz)
+        b_pad = -(-bsz // g_per) * g_per
+        hpad = max(8, -(-h // 8) * 8)
+        if b_pad != bsz:
+            extra = b_pad - bsz
+            q, k, v, g = (
+                jnp.pad(x, [(0, extra), (0, 0), (0, 0), (0, 0)])
+                for x in (q, k, v, g)
+            )
+            template = jnp.pad(
+                template, [(0, extra), (0, 0), (0, 0)],
+                constant_values=MASK_BIAS,
+            )
+            ids = jnp.pad(ids, [(0, extra), (0, 0), (0, 0)])
+        blk4 = lambda i: (i, 0, 0, 0)  # noqa: E731
+        blk3 = lambda i: (i, 0, 0)  # noqa: E731
+        dq, dk, dv, dlut_page = pl.pallas_call(
+            _make_dropout_bwd_kernel_batched(
+                scale, double_add, h, rate, g_per, hpad
+            ),
+            grid=(b_pad // g_per,),
+            interpret=jax.default_backend() == "cpu",
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # lut
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+                pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_per, s_pad, s_pad), blk3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_per, s_pad, s_pad), blk3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((hpad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), q.dtype),
+                jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), k.dtype),
+                jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), v.dtype),
+                jax.ShapeDtypeStruct((hpad, 128), jnp.float32),
+            ],
+        )(jnp.asarray(lut.T), seed.reshape(1), q, k, v, template, ids, g)
+        dq, dk, dv = (x[:bsz, :, :s, :] for x in (dq, dk, dv))
+        dlut = dlut_page[:h, :LUT_SIZE].T.astype(lut.dtype)
+        dlut = dlut.at[0].set(0.0)  # padding entry: no gradient
+        return dq, dk, dv, dlut
 
     # grid (H, B): b inner so each head's dlut row accumulates in-place
     def qkv_map(hh, b):

@@ -742,23 +742,32 @@ def _make_dropout_bwd_kernel_batched(scale, double_add, num_heads, rate, g, hpad
             ).reshape(gg, h, s, dh)
         ).astype(dk_ref.dtype)
 
-        # d_lut page (hpad, 128): row = head, col = lut id; accumulated
-        # across the grid (per-graph contributions summed in-step)
+        # d_lut page (128, 128): row = lut id, col = head; accumulated
+        # across the grid. Built with lane-friendly 2D ops only — Mosaic
+        # cannot lower small cross-sublane reductions/transposes (e.g.
+        # summing a (G, H) intermediate over G), so the G reduction is a
+        # (1,G)x(G,H) matmul and the head vector is placed with a
+        # broadcast + row-select, never transposed.
         @pl.when(i == 0)
         def _():
             dlut_ref[...] = jnp.zeros_like(dlut_ref)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (hpad, 128), 1)
-        page = jnp.zeros((hpad, 128), jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        ones_g = jnp.ones((1, gg), jnp.float32)
+        page = jnp.zeros((128, 128), jnp.float32)
         for kk in range(1, LUT_SIZE):
-            # single-axis reductions only (Mosaic cannot lower multi-axis
-            # vector reductions over 4D operands)
             mk = jnp.where(ids_b == kk, ds, 0.0)  # (G, H, S, S)
-            contrib = jnp.sum(jnp.sum(jnp.sum(mk, axis=-1), axis=-1), axis=0)
-            contrib = jnp.concatenate(
-                [contrib, jnp.zeros((hpad - h,), jnp.float32)]
-            ).reshape(hpad, 1)
-            page = page + jnp.where(col == kk, contrib, 0.0)
+            v2 = jnp.sum(jnp.sum(mk, axis=-1), axis=-1)  # (G, H)
+            c = jax.lax.dot_general(
+                ones_g, v2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, H)
+            cpad = jnp.concatenate(
+                [c, jnp.zeros((1, 128 - h), jnp.float32)], axis=1
+            )
+            page = page + jnp.where(
+                row == kk, jnp.broadcast_to(cpad, (128, 128)), 0.0
+            )
         dlut_ref[...] = dlut_ref[...] + page
 
     return kernel
@@ -899,17 +908,18 @@ def _dropout_backward(q, k, v, template, ids, lut, seed, g, rate, scale, double_
                 pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
                 pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
                 pl.BlockSpec((g_per, h, s_pad, dh), blk4, memory_space=pltpu.VMEM),
-                pl.BlockSpec((hpad, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), q.dtype),
                 jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), k.dtype),
                 jax.ShapeDtypeStruct((b_pad, h, s_pad, dh), v.dtype),
-                jax.ShapeDtypeStruct((hpad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((128, 128), jnp.float32),
             ],
         )(jnp.asarray(lut.T), seed.reshape(1), q, k, v, template, ids, g)
         dq, dk, dv = (x[:bsz, :, :s, :] for x in (dq, dk, dv))
-        dlut = dlut_page[:h, :LUT_SIZE].T.astype(lut.dtype)
+        # page orientation is already (lut id, head) == dlut layout
+        dlut = dlut_page[:LUT_SIZE, :h].astype(lut.dtype)
         dlut = dlut.at[0].set(0.0)  # padding entry: no gradient
         return dq, dk, dv, dlut
 

@@ -308,7 +308,7 @@ def main() -> None:
             "bigtree_mfu": round(big_flops["train_total"] * rate / peak, 4),
         }
     except Exception as e:  # the headline metric must survive big-tree issues
-        big = {"bigtree_error": repr(e)[:200]}
+        big = {"bigtree_error": repr(e)[:800]}
 
     discussions_per_sec = steps_per_sec * BATCH
     print(

@@ -270,6 +270,9 @@ def main() -> None:
                 image_capacity_buckets=(IMG_CAP,),
                 label_capacity_buckets=(BIG_LCAP,),
             ),
+            # this shape needs ~24G of activations without remat (v5e has
+            # 16G HBM) — exactly the remat trade-off's target regime
+            model=cfg.model.replace(remat=True),
         )
         big_trainer = Trainer(big_cfg, mesh=mesh)
         big_items = synthetic_batch_items(

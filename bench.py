@@ -251,6 +251,14 @@ def main() -> None:
             infer_rate = n_inf / (time.perf_counter() - t0)
             infer_mfu = flops["infer_total"] * infer_rate / peak
 
+    # free the canonical section's device state before the big-tree bucket —
+    # params + adam state + 8 staged batches would otherwise share HBM with
+    # the (much larger) big-tree activations
+    import gc
+
+    del state, device_batches, logits, state_params, step, trainer
+    gc.collect()
+
     # big-tree bucket (VERDICT r1 weak 7): canonical batch at Nmax=128 — the
     # regime where the fused tree-attention kernel matters — one short
     # fenced window

@@ -81,9 +81,13 @@ def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
-    """Device-put a host batch with dp sharding on leading dims."""
+    """Device-put a host batch with dp sharding on leading dims.
+
+    One tree-level ``device_put`` (single dispatch for all ~20 arrays) —
+    measured slightly cheaper than per-key puts on the tunneled chip
+    (37 vs 44 ms/batch at canonical shapes) and fewer RPCs either way."""
     specs = batch_sharding(mesh, batch)
-    return {k: jax.device_put(v, specs[k]) for k, v in batch.items()}
+    return jax.device_put(batch, specs)
 
 
 # ---------------------------------------------------------------------------

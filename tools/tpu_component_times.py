@@ -81,17 +81,24 @@ def main() -> None:
         image_capacity_buckets=(IMG_CAP,), label_capacity_buckets=(LABEL_CAP,),
     ).asdict()
 
-    state = trainer.init_state(host)
-    model, criterion, tx = trainer.model, trainer.criterion, trainer.tx
+    # grad-only sections run with bare params (no adam state resident —
+    # the no-remat activations + params + grads + m/v would exceed HBM)
+    model, criterion = trainer.model, trainer.criterion
     rng = jax.random.PRNGKey(0)
 
     def fence(x):
         jax.block_until_ready(jax.device_get(jax.tree.leaves(x)[0]))
 
+    import gc
+
     results = {}
     with mesh:
         jb = shard_batch(mesh, host)
-        params = state.params
+        jh = {k: __import__("jax").numpy.asarray(v) for k, v in host.items()}
+        params = jax.jit(model.init, static_argnames=("deterministic",))(
+            jax.random.PRNGKey(cfg.seed), jh, deterministic=True
+        )
+        del jh
 
         # full loss fwd+bwd (no optimizer)
         def loss_fn(p):
@@ -129,7 +136,10 @@ def main() -> None:
             grad_vit = jax.jit(jax.grad(vit_loss))
             results["vit_bottom_fwd_bwd"] = timed(lambda: grad_vit(params), fence)
 
-        # full optimizer step (loss+grad+adam)
+        # full optimizer step (loss+grad+adam); build adam state only now
+        del params
+        gc.collect()
+        state = trainer.init_state(host)
         step = trainer._make_train_step()
         s = state
         for _ in range(3):
@@ -149,21 +159,31 @@ def main() -> None:
             ThreadedPrefetcher,
         )
 
+        # pre-built host content variants: the worker thread's job is
+        # collate-output staging + H2D, which is what overlaps with compute
+        # in real training (npz load + collate is ~0.03-0.1 s/batch; the
+        # 0.3+ s/batch of *synthetic content generation* is a fixture cost
+        # real data never pays and is excluded here)
+        import numpy as np
+
+        vocab = cfg.model.text_tower.vocab_size
+        variants = []
+        for i in range(4):
+            rng = np.random.RandomState(1000 + i)
+            b = dict(host)
+            b["input_ids"] = np.where(
+                host["attention_mask"] > 0,
+                rng.randint(1000, vocab, host["input_ids"].shape).astype(
+                    host["input_ids"].dtype
+                ),
+                host["input_ids"],
+            )
+            b["images"] = rng.randn(*host["images"].shape).astype(np.float32)
+            variants.append(b)
+
         def host_batches(n):
             for i in range(n):
-                items = synthetic_batch_items(
-                    BATCH, seed=100 + i, min_nodes=8, max_nodes=MAX_NODES,
-                    seq_len=SEQ,
-                    vocab_size=cfg.model.text_tower.vocab_size,
-                    image_prob=0.25, image_shape=(3, 224, 224),
-                )
-                yield collate(
-                    items, spatial_pos_max=cfg.task_cfg.spatial_pos_max,
-                    node_buckets=(MAX_NODES,),
-                    node_capacity_buckets=(NODE_CAP,),
-                    image_capacity_buckets=(IMG_CAP,),
-                    label_capacity_buckets=(LABEL_CAP,),
-                )
+                yield variants[i % len(variants)]
 
         n_piped = 20
         pf = ThreadedPrefetcher(

@@ -71,6 +71,24 @@ def run_variant(
     cfg = cfg.replace(
         model=cfg.model.replace(remat=remat, use_pallas_attention=use_pallas)
     )
+    if name.startswith("nodropout"):
+        # diagnostic: bounds the total cost of dropout (mask generation +
+        # masked math) in the train step
+        import dataclasses as _dc
+
+        cfg = cfg.replace(
+            model=cfg.model.replace(
+                dropout=0.0, attention_dropout=0.0, act_dropout=0.0,
+                text_tower=_dc.replace(
+                    cfg.model.text_tower,
+                    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                ),
+                image_tower=_dc.replace(
+                    cfg.model.image_tower,
+                    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                ),
+            )
+        )
     device = jax.devices()[0]
     peak = peak_flops(device.device_kind)
 
@@ -139,6 +157,7 @@ VARIANTS = {
     "noremat": dict(remat=False, use_pallas=False),
     # run rbg_noremat in its own process: flips the global PRNG impl
     "rbg_noremat": dict(remat=False, use_pallas=False),
+    "nodropout_noremat": dict(remat=False, use_pallas=True),
     "pallas_remat": dict(remat=True, use_pallas=True),
     "pallas_noremat": dict(remat=False, use_pallas=True),
     "big_nodes128": dict(remat=True, use_pallas=False, max_nodes=128,

@@ -44,6 +44,20 @@ def load_graph_npz(path: str) -> GraphItem:
         )
 
 
+class NpzItemLoader:
+    """Picklable lazy item thunk (multi-process loaders — e.g. the Grain
+    pipeline, data/grain_loader.py — pickle the dataset into workers;
+    lambdas would not survive the trip)."""
+
+    __slots__ = ("path",)
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self) -> GraphItem:
+        return load_graph_npz(self.path)
+
+
 def _read_index_file(path: str) -> np.ndarray:
     with open(path) as f:
         return np.asarray([int(line) for line in f if line.strip()], dtype=np.int64)
@@ -70,9 +84,7 @@ def create_hatespeech_dataset(
         key=lambda s: int(s.split("-")[1].split(".")[0]),
     )
     paths = [os.path.join(graph_dir, f) for f in names]
-    items = [
-        (lambda p: (lambda: load_graph_npz(p)))(p) for p in paths
-    ]
+    items = [NpzItemLoader(p) for p in paths]
 
     # split-specific index files when present (the 7-fold layout produced by
     # split-aware ingestion runs), else the reference's single pair

@@ -1,0 +1,114 @@
+"""Grain loader parity: same batches, same order as iterate_batches, with
+in-process and multi-process workers, plus the per-host slicing contract."""
+
+import numpy as np
+import pytest
+
+from multimodaldiscussiontransformer_tpu.core.config import DataConfig, TaskConfig
+from multimodaldiscussiontransformer_tpu.data.dataset import iterate_batches
+from multimodaldiscussiontransformer_tpu.data.grain_loader import (
+    batch_index_chunks,
+    grain_batches,
+)
+from multimodaldiscussiontransformer_tpu.data.synthetic import synthetic_dataset
+from multimodaldiscussiontransformer_tpu.parallel.input import (
+    assemble_global_batch,
+    host_data_config,
+)
+
+IMG = (3, 32, 32)
+SYN = dict(seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8)
+DATA = DataConfig(
+    batch_size=4,
+    max_text_len=16,
+    node_buckets=(8,),
+    node_capacity_buckets=(64,),
+    image_capacity_buckets=(16,),
+    label_capacity_buckets=(32,),
+)
+TASK = TaskConfig(dataset_name="synthetic", seed=3)
+
+
+def batches_equal(a, b):
+    da, db = a.asdict(), b.asdict()
+    assert da.keys() == db.keys()
+    for k in da:
+        np.testing.assert_array_equal(da[k], db[k], err_msg=k)
+
+
+@pytest.mark.parametrize("workers", [0, 2])
+def test_grain_matches_iterate_batches(workers):
+    ds = synthetic_dataset(num_graphs=30, seed=0, **SYN)
+    kw = dict(
+        epoch=2, shuffle=True, image_shape=IMG, drop_last=False,
+        pad_tail_to_batch=True,
+    )
+    ref = list(iterate_batches(ds, ds.train_idx, DATA, TASK, **kw))
+    got = list(
+        grain_batches(ds, ds.train_idx, DATA, TASK, worker_count=workers, **kw)
+    )
+    assert len(ref) == len(got) > 1
+    for a, b in zip(ref, got):
+        batches_equal(a, b)
+
+
+def test_grain_length_grouped_order_matches():
+    import dataclasses
+
+    ds = synthetic_dataset(num_graphs=24, seed=1, **SYN)
+    cfg = dataclasses.replace(DATA, length_grouped=True)
+    ref = list(iterate_batches(ds, ds.train_idx, cfg, TASK, epoch=3, shuffle=True, image_shape=IMG))
+    got = list(grain_batches(ds, ds.train_idx, cfg, TASK, epoch=3, shuffle=True, image_shape=IMG))
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        batches_equal(a, b)
+
+
+def test_grain_per_host_slices_assemble_to_global():
+    """Two simulated hosts' grain streams assemble into the global batches
+    (parallel/input.py contract)."""
+    ds = synthetic_dataset(num_graphs=24, seed=2, **SYN)
+    host_streams = [
+        list(
+            grain_batches(
+                ds, ds.train_idx, DATA, TASK, epoch=1, shuffle=True,
+                image_shape=IMG, host_index=h, host_count=2,
+            )
+        )
+        for h in range(2)
+    ]
+    per_host = host_data_config(DATA, 2)
+    assert all(
+        b.asdict()["input_ids"].shape[0] == per_host.node_capacity_buckets[0]
+        for stream in host_streams
+        for b in stream
+    )
+    # assembled == a single global collation with single-entry ladders
+    global_ref = list(
+        iterate_batches(
+            ds, ds.train_idx, DATA, TASK, epoch=1, shuffle=True,
+            image_shape=IMG,
+        )
+    )
+    assert len(host_streams[0]) == len(host_streams[1]) == len(global_ref)
+    for b0, b1, ref in zip(host_streams[0], host_streams[1], global_ref):
+        asm = assemble_global_batch([b0.asdict(), b1.asdict()])
+        refd = ref.asdict()
+        for k in ("spatial_pos", "in_degree", "grid_mask", "idx", "attn_bias"):
+            np.testing.assert_array_equal(asm[k], refd[k], err_msg=k)
+        assert int(asm["nsamples"]) == int(refd["nsamples"])
+
+
+def test_chunk_order_is_iterate_batches_order():
+    ds = synthetic_dataset(num_graphs=20, seed=4, **SYN)
+    chunks = batch_index_chunks(
+        ds, ds.train_idx, DATA, TASK, epoch=5, shuffle=True
+    )
+    ref = list(
+        iterate_batches(ds, ds.train_idx, DATA, TASK, epoch=5, shuffle=True, image_shape=IMG)
+    )
+    assert len(chunks) == len(ref)
+    for chunk, b in zip(chunks, ref):
+        np.testing.assert_array_equal(
+            np.asarray([ds.get(int(i)).idx for i in chunk]), b.idx
+        )

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multimodaldiscussiontransformer_tpu.models.fast_dropout import FastDropout
+
 from multimodaldiscussiontransformer_tpu.core.config import BertTowerConfig
 
 Dtype = Any
@@ -78,7 +80,7 @@ class SelfAttention(nn.Module):
         self.query = nn.Dense(self.hidden_size, use_bias=self.use_bias, dtype=d, param_dtype=p)
         self.key = nn.Dense(self.hidden_size, use_bias=self.use_bias, dtype=d, param_dtype=p)
         self.value = nn.Dense(self.hidden_size, use_bias=self.use_bias, dtype=d, param_dtype=p)
-        self.attn_dropout = nn.Dropout(self.dropout_rate)
+        self.attn_dropout = FastDropout(self.dropout_rate)
 
     def __call__(
         self,
@@ -120,7 +122,7 @@ class BertLayer(nn.Module):
         self.intermediate_dense = nn.Dense(c.intermediate_size, dtype=d, param_dtype=p)
         self.output_dense = nn.Dense(c.hidden_size, dtype=d, param_dtype=p)
         self.output_layernorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=d, param_dtype=p)
-        self.hidden_dropout = nn.Dropout(c.hidden_dropout_prob)
+        self.hidden_dropout = FastDropout(c.hidden_dropout_prob)
 
     def __call__(
         self,
@@ -151,7 +153,7 @@ class BertEmbeddings(nn.Module):
         self.position_embeddings = nn.Embed(c.max_position_embeddings, c.hidden_size, param_dtype=p)
         self.token_type_embeddings = nn.Embed(c.type_vocab_size, c.hidden_size, param_dtype=p)
         self.layernorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, param_dtype=p)
-        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+        self.dropout = FastDropout(c.hidden_dropout_prob)
 
     def __call__(
         self,

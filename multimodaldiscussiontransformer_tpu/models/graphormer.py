@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multimodaldiscussiontransformer_tpu.models.fast_dropout import FastDropout
+
 from multimodaldiscussiontransformer_tpu.core.config import ModelConfig
 from multimodaldiscussiontransformer_tpu.models.bert import MASK_BIAS
 
@@ -161,7 +163,7 @@ class BiasedMultiheadAttention(nn.Module):
         self.k_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)
         self.v_proj = nn.Dense(d, kernel_init=qkv_init, dtype=self.dtype, param_dtype=self.param_dtype)
         self.out_proj = nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype, param_dtype=self.param_dtype)
-        self.dropout = nn.Dropout(self.config.attention_dropout)
+        self.dropout = FastDropout(self.config.attention_dropout)
 
     def __call__(
         self,
@@ -268,8 +270,8 @@ class GraphormerGraphEncoderLayer(nn.Module):
         self.fc1 = nn.Dense(c.encoder_ffn_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype)
         self.fc2 = nn.Dense(c.encoder_embed_dim, dtype=self.dtype, param_dtype=self.param_dtype)
         self.final_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.dropout = nn.Dropout(c.dropout)
-        self.activation_dropout = nn.Dropout(c.act_dropout)
+        self.dropout = FastDropout(c.dropout)
+        self.activation_dropout = FastDropout(c.act_dropout)
 
     def __call__(
         self,

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multimodaldiscussiontransformer_tpu.models.fast_dropout import FastDropout
+
 from multimodaldiscussiontransformer_tpu.core.config import ModelConfig
 from multimodaldiscussiontransformer_tpu.core.registry import (
     register_model,
@@ -109,7 +111,7 @@ class MultiGraphormerGraphEncoder(nn.Module):
         )
         if c.encoder_normalize_before:
             self.emb_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
-        self.emb_dropout = nn.Dropout(c.dropout)
+        self.emb_dropout = FastDropout(c.dropout)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True) -> EncoderOutput:
         c = self.config
@@ -257,7 +259,7 @@ class MDTModel(nn.Module):
         # harvested from the BERT sequence-classification head in the
         # reference (multigraphormer_graph_encoder.py:241-246,264-265)
         self.text_pooler = BertPooler(c.text_tower.hidden_size, self.dtype, self.param_dtype)
-        self.text_dropout = nn.Dropout(c.text_tower.hidden_dropout_prob)
+        self.text_dropout = FastDropout(c.text_tower.hidden_dropout_prob)
         self.node_classifier = nn.Dense(c.num_classes, dtype=self.dtype, param_dtype=self.param_dtype)
         # vit_pooler: unfrozen but uncalled in the reference forward
         # (multigraphormer_graph_encoder.py:228); exposed for the image-head

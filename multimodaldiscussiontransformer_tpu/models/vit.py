@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from multimodaldiscussiontransformer_tpu.models.fast_dropout import FastDropout
+
 from multimodaldiscussiontransformer_tpu.core.config import ViTTowerConfig
 from multimodaldiscussiontransformer_tpu.models.bert import SelfAttention, act_fn
 
@@ -49,7 +51,7 @@ class ViTLayer(nn.Module):
         self.layernorm_after = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=d, param_dtype=p)
         self.intermediate_dense = nn.Dense(c.intermediate_size, dtype=d, param_dtype=p)
         self.output_dense = nn.Dense(c.hidden_size, dtype=d, param_dtype=p)
-        self.hidden_dropout = nn.Dropout(c.hidden_dropout_prob)
+        self.hidden_dropout = FastDropout(c.hidden_dropout_prob)
 
     def __call__(self, hidden: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         attn = self.attention(self.layernorm_before(hidden), None, deterministic)
@@ -99,7 +101,7 @@ class ViTEmbeddings(nn.Module):
             (1, c.seq_len, c.hidden_size),
             self.param_dtype,
         )
-        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+        self.dropout = FastDropout(c.hidden_dropout_prob)
 
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         # pixel_values: (B, 3, H, W) channels-first like the HF processor

@@ -11,9 +11,13 @@ measured 58.7 vs 49.6 disc/s with dropout off vs flax dropout
 ``fast_dropout`` stores only the PRNG KEY as the residual and regenerates
 the mask in the backward pass — the same trick as the in-kernel-dropout
 tree-attention pair (ops/tree_attention.py), applied at the XLA level.
-Random bits are cheap (the trainer hands the dropout chain an ``rbg``
-hardware-RNG key, TrainConfig.fast_dropout_rng); activation-sized
-residual loads are not.
+
+Measured effect (v5e, canonical shapes): throughput-neutral (49.5 vs 49.6
+disc/s — the remaining dropout cost is bits GENERATION, paid twice here
+vs once + bool-residual traffic with flax), but the activation-sized mask
+residuals disappear from HBM, which buys real headroom in the
+memory-bound big-tree/remat regime. The residual-free property is pinned
+by tests/test_fast_dropout.py::test_backward_regenerates_the_same_mask.
 
 Numerics: standard inverted dropout, E[out] = x; the mask differs from
 flax's (different bit-derivation) but is identically distributed.

@@ -223,10 +223,9 @@ def _make_kernel_flash(scale: float, double_add: bool, nk: int):
     tile — the (S, S) score matrix never materializes, so S is bounded by
     HBM, not VMEM (the whole-S kernels cap near S~2k).
 
-    NOTE: the custom VJP's backward (_bwd) still materializes (B,H,S,S) in
-    XLA, so TRAINING at giant S is memory-bound there; this path primarily
-    serves inference/scoring of giant discussions. A streaming backward is
-    the remaining extension (TODO.md)."""
+    The backward streams too (_tree_backward_flash: LSE pass + q-major
+    dq/dLUT pass + k-major dk/dv pass), so giant-S TRAINING never
+    materializes (S, S) either."""
 
     def kernel(
         lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref,
@@ -345,6 +344,352 @@ def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add):
     return out[:, :, :s, :] if s_pad != s else out
 
 
+def _make_kernel_flash_lse(scale: float, double_add: bool, nk: int):
+    """Streaming pass producing only the per-row logsumexp (m + log l) —
+    the backward's substitute for the forward's online-softmax state."""
+
+    def kernel(
+        lut_ref, q_ref, k_ref, tpl_ref, ids_ref, lse_ref, m_ref, l_ref
+    ):
+        from jax.experimental import pallas as pl
+
+        ik = pl.program_id(2)
+        head = pl.program_id(0) % lut_ref.shape[0]
+
+        @pl.when(ik == 0)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, MASK_BIAS)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+        q = q_ref[0].astype(jnp.float32) * scale
+        k = k_ref[0].astype(jnp.float32)
+        tpl = jnp.maximum(tpl_ref[0].astype(jnp.float32), MASK_BIAS)
+        ids = ids_ref[0]
+        spatial = jnp.zeros(ids.shape, jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(ids == kk, lut_ref[head, kk], 0.0)
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + (2.0 if double_add else 1.0) * tpl
+            + spatial
+        )
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        l_ref[...] = l_ref[...] * jnp.exp(m_prev - m_new) + jnp.sum(
+            jnp.exp(s - m_new), axis=-1, keepdims=True
+        )
+        m_ref[...] = m_new
+
+        @pl.when(ik == nk - 1)
+        def _flush():
+            # lane-broadcast (TQ, 128) page: TPU tiling requires the last
+            # dim be 128 (the value is replicated across lanes; consumers
+            # read lane 0) — same layout as jax's TPU flash attention
+            val = m_ref[...] + jnp.log(jnp.maximum(l_ref[...], 1e-30))
+            lse_ref[0] = jnp.broadcast_to(val, (val.shape[0], 128))
+
+    return kernel
+
+
+def _make_kernel_flash_dq(scale: float, double_add: bool, nk: int, num_heads: int):
+    """q-major streaming backward: dq (+ the spatial-LUT gradient page).
+
+    Uses the precomputed per-row LSE so probabilities are exact per tile:
+    p = exp(s - lse); ds = p * (dp - delta); dq_i = sum_k ds_ik k_k * scale.
+    ``delta`` (rowsum of g*out) is computed in XLA by the caller."""
+
+    def kernel(
+        lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref, lse_ref,
+        delta_ref, dq_ref, dlut_ref, acc_ref,
+    ):
+        from jax.experimental import pallas as pl
+
+        bh = pl.program_id(0)
+        iq = pl.program_id(1)
+        ik = pl.program_id(2)
+        head = bh % num_heads
+
+        @pl.when(ik == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        @pl.when((bh == 0) & (iq == 0) & (ik == 0))
+        def _init_dlut():
+            # constant-mapped page: never evicted, so cross-step
+            # accumulation is sound (one init at grid step 0)
+            dlut_ref[...] = jnp.zeros_like(dlut_ref)
+
+        q = q_ref[0].astype(jnp.float32) * scale  # (TQ, dh)
+        k = k_ref[0].astype(jnp.float32)  # (TK, dh)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)  # (TQ, dh)
+        tpl = jnp.maximum(tpl_ref[0].astype(jnp.float32), MASK_BIAS)
+        ids = ids_ref[0]
+        lse = lse_ref[0][:, :1]  # (TQ, 1) from the lane-broadcast page
+        delta = delta_ref[0][:, :1]
+
+        spatial = jnp.zeros(ids.shape, jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(ids == kk, lut_ref[head, kk], 0.0)
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + (2.0 if double_add else 1.0) * tpl
+            + spatial
+        )
+        p = jnp.exp(s - lse)  # exact probabilities (TQ, TK)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # dlut page (row = head, col = lut id), single constant-mapped
+        # block accumulated over the whole grid; this step contributes to
+        # its own head's row only
+        hpad = dlut_ref.shape[0]
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (hpad, 128), 1)
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (hpad, 128), 0)
+        page = jnp.zeros((hpad, 128), jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            contrib = jnp.sum(jnp.where(ids == kk, ds, 0.0))  # scalar
+            page = page + jnp.where(
+                (row1 == head) & (col1 == kk), contrib, 0.0
+            )
+        dlut_ref[...] = dlut_ref[...] + page
+
+        @pl.when(ik == nk - 1)
+        def _flush():
+            dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _make_kernel_flash_dkv(scale: float, double_add: bool, nq: int, num_heads: int):
+    """k-major streaming backward: dk and dv."""
+
+    def kernel(
+        lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref, lse_ref,
+        delta_ref, dk_ref, dv_ref, acck_ref, accv_ref,
+    ):
+        from jax.experimental import pallas as pl
+
+        bh = pl.program_id(0)
+        iq = pl.program_id(2)  # q innermost here
+        head = bh % num_heads
+
+        @pl.when(iq == 0)
+        def _init():
+            acck_ref[...] = jnp.zeros_like(acck_ref)
+            accv_ref[...] = jnp.zeros_like(accv_ref)
+
+        q = q_ref[0].astype(jnp.float32) * scale  # (TQ, dh)
+        k = k_ref[0].astype(jnp.float32)  # (TK, dh)
+        v = v_ref[0].astype(jnp.float32)
+        g = g_ref[0].astype(jnp.float32)  # (TQ, dh)
+        tpl = jnp.maximum(tpl_ref[0].astype(jnp.float32), MASK_BIAS)  # (TQ, TK)
+        ids = ids_ref[0]
+        lse = lse_ref[0][:, :1]
+        delta = delta_ref[0][:, :1]
+
+        spatial = jnp.zeros(ids.shape, jnp.float32)
+        for kk in range(1, LUT_SIZE):
+            spatial = spatial + jnp.where(ids == kk, lut_ref[head, kk], 0.0)
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + (2.0 if double_add else 1.0) * tpl
+            + spatial
+        )
+        p = jnp.exp(s - lse)  # (TQ, TK)
+        accv_ref[...] = accv_ref[...] + jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TK, dh)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        acck_ref[...] = acck_ref[...] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TK, dh); q is pre-scaled so dk carries the scale already
+
+        @pl.when(iq == nq - 1)
+        def _flush():
+            dk_ref[0] = acck_ref[...].astype(dk_ref.dtype)
+            dv_ref[0] = accv_ref[...].astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
+    """Streaming (flash) backward — nothing (S, S)-sized ever materializes.
+
+    Three passes: per-row LSE (re-derives the forward's online-softmax
+    state), q-major dq + dLUT, k-major dk/dv; ``delta`` = rowsum(g * out)
+    with out itself recomputed by the streaming forward (O(S·dh) extra)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, h, s, dh = q.shape
+    tile = min(_FLASH_TILE, -(-s // 8) * 8)
+    s_pad = -(-s // tile) * tile
+    if s_pad != s:
+        pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        q, k, v, g = (jnp.pad(x, pad4) for x in (q, k, v, g))
+        template = jnp.pad(
+            template, [(0, 0), (0, s_pad - s), (0, s_pad - s)],
+            constant_values=MASK_BIAS,
+        )
+        ids = jnp.pad(ids, [(0, 0), (0, s_pad - s), (0, s_pad - s)])
+    nq = nk = s_pad // tile
+    interp = jax.default_backend() == "cpu"
+    lut_t = jnp.asarray(lut.T)
+
+    qf = q.reshape(bsz * h, s_pad, dh)
+    kf = k.reshape(bsz * h, s_pad, dh)
+    vf = v.reshape(bsz * h, s_pad, dh)
+    gf = g.reshape(bsz * h, s_pad, dh)
+
+    qkv_spec = pl.BlockSpec(
+        (1, tile, dh), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, tile, dh), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM
+    )
+    tpl_spec = pl.BlockSpec(
+        (1, tile, tile),
+        lambda bh, iq, ik, _h=h: (bh // _h, iq, ik),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, tile, 128), lambda bh, iq, ik: (bh, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    # pass 1: LSE
+    lse = pl.pallas_call(
+        _make_kernel_flash_lse(scale, double_add, nk),
+        grid=(bsz * h, nq, nk),
+        interpret=interp,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec, kv_spec, tpl_spec, tpl_spec,
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz * h, s_pad, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, 1), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
+    )(lut_t, qf, kf, template, ids)
+
+    # delta = rowsum(g * out); out recomputed by the streaming forward
+    out = _tree_forward_flash(
+        q[:, :, :s, :] if s_pad != s else q,
+        k[:, :, :s, :] if s_pad != s else k,
+        v[:, :, :s, :] if s_pad != s else v,
+        template[:, :s, :s] if s_pad != s else template,
+        ids[:, :s, :s] if s_pad != s else ids,
+        lut, scale, double_add,
+    )
+    delta = jnp.sum(
+        out.astype(jnp.float32) * g[:, :, :s, :].astype(jnp.float32), axis=-1
+    )
+    delta = jnp.pad(delta, [(0, 0), (0, 0), (0, s_pad - s)]) if s_pad != s else delta
+    # lane-broadcast layout to match the LSE page
+    delta = jnp.broadcast_to(
+        delta.reshape(bsz * h, s_pad, 1), (bsz * h, s_pad, 128)
+    )
+
+    # pass 2: dq + dlut (q-major, k innermost)
+    dqf, dlut_page = pl.pallas_call(
+        _make_kernel_flash_dq(scale, double_add, nk, h),
+        grid=(bsz * h, nq, nk),
+        interpret=interp,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec, kv_spec, kv_spec, tpl_spec, tpl_spec, qkv_spec,
+            row_spec, row_spec,
+        ],
+        out_specs=[
+            qkv_spec,
+            pl.BlockSpec(
+                (max(8, -(-h // 8) * 8), 128),
+                lambda bh, iq, ik: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * h, s_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((max(8, -(-h // 8) * 8), 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, dh), jnp.float32)],
+    )(lut_t, qf, kf, vf, template, ids, gf, lse, delta)
+
+    # pass 3: dk + dv (k-major, q innermost)
+    qkv_spec_kmaj = pl.BlockSpec(
+        (1, tile, dh), lambda bh, ik, iq: (bh, iq, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec_kmaj = pl.BlockSpec(
+        (1, tile, dh), lambda bh, ik, iq: (bh, ik, 0), memory_space=pltpu.VMEM
+    )
+    tpl_spec_kmaj = pl.BlockSpec(
+        (1, tile, tile),
+        lambda bh, ik, iq, _h=h: (bh // _h, iq, ik),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec_kmaj = pl.BlockSpec(
+        (1, tile, 128), lambda bh, ik, iq: (bh, iq, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dkf, dvf = pl.pallas_call(
+        _make_kernel_flash_dkv(scale, double_add, nq, h),
+        grid=(bsz * h, nk, nq),
+        interpret=interp,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qkv_spec_kmaj, kv_spec_kmaj, kv_spec_kmaj, tpl_spec_kmaj,
+            tpl_spec_kmaj, qkv_spec_kmaj, row_spec_kmaj, row_spec_kmaj,
+        ],
+        out_specs=[kv_spec_kmaj, kv_spec_kmaj],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * h, s_pad, dh), k.dtype),
+            jax.ShapeDtypeStruct((bsz * h, s_pad, dh), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, dh), jnp.float32),
+            pltpu.VMEM((tile, dh), jnp.float32),
+        ],
+    )(lut_t, qf, kf, vf, template, ids, gf, lse, delta)
+
+    dq = dqf.reshape(bsz, h, s_pad, dh)[:, :, :s, :]
+    dk = dkf.reshape(bsz, h, s_pad, dh)[:, :, :s, :]
+    dv = dvf.reshape(bsz, h, s_pad, dh)[:, :, :s, :]
+    # dlut page: (head row, lut-id col) -> (LUT_SIZE, H)
+    dlut = dlut_page[:h, :LUT_SIZE].T.astype(lut.dtype)
+    dlut = dlut.at[0].set(0.0)
+    return dq, dk, dv, dlut
+
+
 def _tree_forward(q, k, v, template, ids, lut, scale, double_add):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -442,6 +787,14 @@ def _fwd(q, k, v, template, ids, lut, scale, double_add):
 
 def _bwd(scale, double_add, res, g):
     q, k, v, template, ids, lut = res
+    s_pad8 = -(-q.shape[2] // 8) * 8
+    if s_pad8 >= _FLASH_MIN_S:
+        # giant-S: streaming backward — the (B, H, S, S) recompute below
+        # would not fit HBM at the sizes the flash forward serves
+        dq, dk, dv, dlut = _tree_backward_flash(
+            q, k, v, template, ids, lut, g, scale, double_add
+        )
+        return dq, dk, dv, None, None, dlut
     qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, g))
     bias = _assemble_bias_xla(template, ids, lut, double_add)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qf * scale, kf) + bias

@@ -175,3 +175,31 @@ def test_flash_streaming_kernel_matches_reference(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_flash_streaming_backward_matches_reference(monkeypatch):
+    """Gradients through the streaming backward (LSE + dq/dLUT + dk/dv
+    passes) must match autodiff through the XLA reference, forced at a toy
+    size with multiple tiles in both q and k."""
+    monkeypatch.setattr(ta, "_FLASH_MIN_S", 16)
+    monkeypatch.setattr(ta, "_FLASH_TILE", 16)
+    q, k, v, template, ids, lut = _rand_inputs(7, b=2, h=3, s=40, dh=8)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_fused(q, k, v, lut):
+        out = ta._tree_attention(q, k, v, template, ids, lut, scale, True)
+        return jnp.sum(out * jnp.cos(out))  # nontrivial cotangent
+
+    def loss_ref(q, k, v, lut):
+        out = ta.tree_attention_reference(
+            q, k, v, template, ids, lut, scale, True
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, lut)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, lut)
+    for name, a, b in zip("q k v lut".split(), g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name}",
+        )

@@ -102,6 +102,54 @@ def main() -> int:
     )(q, k, v, lut)
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
     print("grads finite: OK")
+
+    # streaming (flash) backward vs a float64 numpy oracle at a size small
+    # enough to materialize host-side but large enough (s >= _FLASH_MIN_S)
+    # to route through the three streaming passes
+    b, h, s, dh = 1, 2, 520, 64
+    rng2 = np.random.default_rng(1)
+    q = rng2.standard_normal((b, h, s, dh)).astype(np.float32)
+    k = rng2.standard_normal((b, h, s, dh)).astype(np.float32)
+    v = rng2.standard_normal((b, h, s, dh)).astype(np.float32)
+    template = np.zeros((b, s, s), np.float32)
+    clip = rng2.random((b, s - 1, s - 1)) < 0.3
+    template[:, 1:, 1:][clip] = -1e9
+    ids = rng2.integers(0, 22, (b, s, s)).astype(np.int32)
+    lut = rng2.standard_normal((ta.LUT_SIZE, h)).astype(np.float32)
+    lut[0] = 0
+    scale = dh**-0.5
+    ja = tuple(map(jnp.asarray, (q, k, v, template, ids, lut)))
+    dq, dk, dv, dlut = jax.jit(
+        jax.grad(
+            lambda q_, k_, v_, l_: jnp.sum(
+                ta._tree_attention(q_, k_, v_, ja[3], ja[4], l_, scale, True)
+            ),
+            argnums=(0, 1, 2, 3),
+        )
+    )(*[ja[i] for i in (0, 1, 2, 5)])
+
+    bias = np.take(lut, ids, axis=0).transpose(0, 3, 1, 2).astype(np.float64)
+    bias += 2.0 * np.maximum(template, ta.MASK_BIAS)[:, None]
+    sc = np.einsum("bhqd,bhkd->bhqk", q * scale, k, dtype=np.float64) + bias
+    m = sc.max(-1, keepdims=True)
+    e = np.exp(sc - m)
+    p = e / e.sum(-1, keepdims=True)
+    gones = np.ones((b, h, s, dh), np.float64)
+    dv_o = np.einsum("bhqk,bhqd->bhkd", p, gones)
+    dp = np.einsum("bhqd,bhkd->bhqk", gones, v.astype(np.float64))
+    ds = p * (dp - (dp * p).sum(-1, keepdims=True))
+    dq_o = np.einsum("bhqk,bhkd->bhqd", ds, k.astype(np.float64)) * scale
+    dk_o = np.einsum("bhqk,bhqd->bhkd", ds, q.astype(np.float64)) * scale
+    onehot = np.eye(ta.LUT_SIZE, dtype=np.float64)[ids]
+    dlut_o = np.einsum("bhij,bijl->lh", ds, onehot)
+    dlut_o[0] = 0.0
+    gscale = np.abs(dq_o).max()
+    for name, a, o in (("dq", dq, dq_o), ("dk", dk, dk_o), ("dv", dv, dv_o), ("dlut", dlut, dlut_o)):
+        err = np.abs(np.asarray(a, np.float64) - o).max()
+        rel = err / max(np.abs(o).max(), 1e-6)
+        ok = rel < 2e-2 and np.isfinite(np.asarray(a)).all()
+        failures += not ok
+        print(f"flash-bwd {name}: rel_err={rel:.2e} {'OK' if ok else 'FAIL'}")
     return failures
 
 

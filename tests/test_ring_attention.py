@@ -1,0 +1,59 @@
+"""Ring (sequence-parallel) tree attention vs the single-device reference
+on the virtual 8-device CPU mesh: S sharded over dp, k/v blocks rotated by
+ppermute, bias strips sliced locally."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
+from multimodaldiscussiontransformer_tpu.ops.ring_attention import (
+    ring_tree_attention,
+)
+from multimodaldiscussiontransformer_tpu.parallel.mesh import make_mesh
+
+
+def _inputs(seed, b, h, s, dh):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    template = jnp.where(
+        jnp.asarray(rng.random((b, s, s))) < 0.2, ta.MASK_BIAS, 0.0
+    ).astype(jnp.float32)
+    template = template.at[:, :, 0].set(0.0)
+    ids = jnp.asarray(rng.integers(0, ta.LUT_SIZE, (b, s, s)), jnp.int32)
+    lut = jnp.asarray(rng.standard_normal((ta.LUT_SIZE, h)), jnp.float32)
+    lut = lut.at[0].set(0.0)
+    return q, k, v, template, ids, lut
+
+
+def test_ring_matches_reference_dp4():
+    mesh = make_mesh(4, 2)
+    q, k, v, template, ids, lut = _inputs(0, b=2, h=2, s=32, dh=8)
+    scale = q.shape[-1] ** -0.5
+    ref = ta.tree_attention_reference(q, k, v, template, ids, lut, scale, True)
+    got = ring_tree_attention(q, k, v, template, ids, lut, mesh, "dp", scale)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ring_matches_reference_dp8():
+    mesh = make_mesh(8, 1)
+    q, k, v, template, ids, lut = _inputs(1, b=1, h=3, s=64, dh=8)
+    scale = q.shape[-1] ** -0.5
+    ref = ta.tree_attention_reference(q, k, v, template, ids, lut, scale, True)
+    got = ring_tree_attention(q, k, v, template, ids, lut, mesh, "dp", scale)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_ring_rejects_indivisible_s():
+    import pytest
+
+    mesh = make_mesh(4, 1)
+    q, k, v, template, ids, lut = _inputs(2, b=1, h=2, s=30, dh=8)
+    with pytest.raises(ValueError, match="divisible"):
+        ring_tree_attention(q, k, v, template, ids, lut, mesh, "dp")

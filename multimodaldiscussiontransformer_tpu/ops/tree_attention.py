@@ -215,7 +215,18 @@ _FLASH_MIN_S = 513
 _FLASH_TILE = 256
 
 
-def _make_kernel_flash(scale: float, double_add: bool, nk: int):
+def _tile_keep_mask(seed_scalar, bh, iq, ik, nq, nk, shape, rate):
+    """Per-(bh, q-tile, k-tile) dropout keep-mask — the SAME formula in the
+    forward and all backward passes regenerates identical masks."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_scalar + (bh * nq + iq) * nk + ik)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+
+
+def _make_kernel_flash(scale: float, double_add: bool, nk: int,
+                       nq: int = 0, rate: float = 0.0):
     """Streaming (flash) variant for S beyond the whole-S VMEM budget.
 
     Grid (B*H, nq, nk), k innermost; the (TQ, dh) output accumulator plus
@@ -227,14 +238,21 @@ def _make_kernel_flash(scale: float, double_add: bool, nk: int):
     dq/dLUT pass + k-major dk/dv pass), so giant-S TRAINING never
     materializes (S, S) either."""
 
-    def kernel(
-        lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref,
-        acc_ref, m_ref, l_ref,
-    ):
+    def kernel(*refs):
         from jax.experimental import pallas as pl
 
+        if rate > 0.0:
+            (lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref,
+             out_ref, acc_ref, m_ref, l_ref) = refs
+        else:
+            (lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref,
+             acc_ref, m_ref, l_ref) = refs
+            seed_ref = None
+
+        bh = pl.program_id(0)
+        iq = pl.program_id(1)
         ik = pl.program_id(2)
-        head = pl.program_id(0) % lut_ref.shape[0]
+        head = bh % lut_ref.shape[0]
 
         @pl.when(ik == 0)
         def _init():
@@ -264,7 +282,16 @@ def _make_kernel_flash(scale: float, double_add: bool, nk: int):
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
+        # reference semantics: dropout hits the NORMALIZED probabilities
+        # (multihead_attention.py:196), so the denominator accumulates the
+        # UNDROPPED exponentials while the value accumulator gets the
+        # masked ones
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _tile_keep_mask(
+                seed_ref[0], bh, iq, ik, nq, nk, p.shape, rate
+            )
+            p = jnp.where(keep, p, 0.0) / (1.0 - rate)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -280,7 +307,8 @@ def _make_kernel_flash(scale: float, double_add: bool, nk: int):
     return kernel
 
 
-def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add):
+def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add,
+                        seed=None, rate: float = 0.0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -301,8 +329,13 @@ def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add):
     kf = k.reshape(bsz * h, s_pad, dh)
     vf = v.reshape(bsz * h, s_pad, dh)
 
+    extra_in = []
+    extra_specs = []
+    if rate > 0.0:
+        extra_in = [seed.reshape(1)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     out = pl.pallas_call(
-        _make_kernel_flash(scale, double_add, nk),
+        _make_kernel_flash(scale, double_add, nk, nq=nq, rate=rate),
         grid=(bsz * h, nq, nk),
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(
@@ -310,6 +343,7 @@ def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add):
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lut (H, LUT_SIZE)
+            *extra_specs,
             pl.BlockSpec((1, tile, dh), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, dh), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, dh), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
@@ -339,7 +373,7 @@ def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add):
             * (3 * h * s_pad * dh * 2 + 2 * nq * s_pad * tile * 4),
             transcendentals=bsz * h * s_pad * s_pad,
         ),
-    )(jnp.asarray(lut.T), qf, kf, vf, template, ids)
+    )(jnp.asarray(lut.T), *extra_in, qf, kf, vf, template, ids)
     out = out.reshape(bsz, h, s_pad, dh)
     return out[:, :, :s, :] if s_pad != s else out
 
@@ -394,18 +428,24 @@ def _make_kernel_flash_lse(scale: float, double_add: bool, nk: int):
     return kernel
 
 
-def _make_kernel_flash_dq(scale: float, double_add: bool, nk: int, num_heads: int):
+def _make_kernel_flash_dq(scale: float, double_add: bool, nk: int,
+                          num_heads: int, nq: int = 0, rate: float = 0.0):
     """q-major streaming backward: dq (+ the spatial-LUT gradient page).
 
     Uses the precomputed per-row LSE so probabilities are exact per tile:
     p = exp(s - lse); ds = p * (dp - delta); dq_i = sum_k ds_ik k_k * scale.
     ``delta`` (rowsum of g*out) is computed in XLA by the caller."""
 
-    def kernel(
-        lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref, lse_ref,
-        delta_ref, dq_ref, dlut_ref, acc_ref,
-    ):
+    def kernel(*refs):
         from jax.experimental import pallas as pl
+
+        if rate > 0.0:
+            (lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref,
+             g_ref, lse_ref, delta_ref, dq_ref, dlut_ref, acc_ref) = refs
+        else:
+            (lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref,
+             lse_ref, delta_ref, dq_ref, dlut_ref, acc_ref) = refs
+            seed_ref = None
 
         bh = pl.program_id(0)
         iq = pl.program_id(1)
@@ -446,6 +486,11 @@ def _make_kernel_flash_dq(scale: float, double_add: bool, nk: int, num_heads: in
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if rate > 0.0:
+            keep = _tile_keep_mask(
+                seed_ref[0], bh, iq, ik, nq, nk, p.shape, rate
+            )
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - rate)
         ds = p * (dp - delta)
         acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -473,16 +518,24 @@ def _make_kernel_flash_dq(scale: float, double_add: bool, nk: int, num_heads: in
     return kernel
 
 
-def _make_kernel_flash_dkv(scale: float, double_add: bool, nq: int, num_heads: int):
+def _make_kernel_flash_dkv(scale: float, double_add: bool, nq: int,
+                           num_heads: int, nk: int = 0, rate: float = 0.0):
     """k-major streaming backward: dk and dv."""
 
-    def kernel(
-        lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref, lse_ref,
-        delta_ref, dk_ref, dv_ref, acck_ref, accv_ref,
-    ):
+    def kernel(*refs):
         from jax.experimental import pallas as pl
 
+        if rate > 0.0:
+            (lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref,
+             g_ref, lse_ref, delta_ref, dk_ref, dv_ref, acck_ref,
+             accv_ref) = refs
+        else:
+            (lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, g_ref,
+             lse_ref, delta_ref, dk_ref, dv_ref, acck_ref, accv_ref) = refs
+            seed_ref = None
+
         bh = pl.program_id(0)
+        ik = pl.program_id(1)
         iq = pl.program_id(2)  # q innermost here
         head = bh % num_heads
 
@@ -512,12 +565,21 @@ def _make_kernel_flash_dkv(scale: float, double_add: bool, nq: int, num_heads: i
             + spatial
         )
         p = jnp.exp(s - lse)  # (TQ, TK)
+        if rate > 0.0:
+            keep = _tile_keep_mask(
+                seed_ref[0], bh, iq, ik, nq, nk, p.shape, rate
+            )
+            pd = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        else:
+            pd = p
         accv_ref[...] = accv_ref[...] + jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (TK, dh)
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        if rate > 0.0:
+            dp = jnp.where(keep, dp, 0.0) / (1.0 - rate)
         ds = p * (dp - delta)
         acck_ref[...] = acck_ref[...] + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -531,12 +593,16 @@ def _make_kernel_flash_dkv(scale: float, double_add: bool, nq: int, num_heads: i
     return kernel
 
 
-def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
+def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add,
+                         seed=None, rate: float = 0.0):
     """Streaming (flash) backward — nothing (S, S)-sized ever materializes.
 
     Three passes: per-row LSE (re-derives the forward's online-softmax
     state), q-major dq + dLUT, k-major dk/dv; ``delta`` = rowsum(g * out)
-    with out itself recomputed by the streaming forward (O(S·dh) extra)."""
+    with out itself recomputed by the streaming forward (O(S·dh) extra).
+    With ``rate > 0`` every pass regenerates the SAME per-tile dropout
+    keep-mask from (seed, bh, q-tile, k-tile) — giant-S training with
+    attention dropout streams end to end."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -597,13 +663,15 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
     )(lut_t, qf, kf, template, ids)
 
     # delta = rowsum(g * out); out recomputed by the streaming forward
+    # (WITH the same dropout mask when rate > 0 — delta must describe the
+    # dropped output, matching sum_k dp_norm * p_norm)
     out = _tree_forward_flash(
         q[:, :, :s, :] if s_pad != s else q,
         k[:, :, :s, :] if s_pad != s else k,
         v[:, :, :s, :] if s_pad != s else v,
         template[:, :s, :s] if s_pad != s else template,
         ids[:, :s, :s] if s_pad != s else ids,
-        lut, scale, double_add,
+        lut, scale, double_add, seed=seed, rate=rate,
     )
     delta = jnp.sum(
         out.astype(jnp.float32) * g[:, :, :s, :].astype(jnp.float32), axis=-1
@@ -614,9 +682,15 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
         delta.reshape(bsz * h, s_pad, 1), (bsz * h, s_pad, 128)
     )
 
+    extra_in = []
+    extra_specs = []
+    if rate > 0.0:
+        extra_in = [seed.reshape(1)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+
     # pass 2: dq + dlut (q-major, k innermost)
     dqf, dlut_page = pl.pallas_call(
-        _make_kernel_flash_dq(scale, double_add, nk, h),
+        _make_kernel_flash_dq(scale, double_add, nk, h, nq=nq, rate=rate),
         grid=(bsz * h, nq, nk),
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
@@ -624,6 +698,7 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *extra_specs,
             qkv_spec, kv_spec, kv_spec, tpl_spec, tpl_spec, qkv_spec,
             row_spec, row_spec,
         ],
@@ -640,7 +715,7 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
             jax.ShapeDtypeStruct((max(8, -(-h // 8) * 8), 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((tile, dh), jnp.float32)],
-    )(lut_t, qf, kf, vf, template, ids, gf, lse, delta)
+    )(lut_t, *extra_in, qf, kf, vf, template, ids, gf, lse, delta)
 
     # pass 3: dk + dv (k-major, q innermost)
     qkv_spec_kmaj = pl.BlockSpec(
@@ -659,7 +734,7 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
         memory_space=pltpu.VMEM,
     )
     dkf, dvf = pl.pallas_call(
-        _make_kernel_flash_dkv(scale, double_add, nq, h),
+        _make_kernel_flash_dkv(scale, double_add, nq, h, nk=nk, rate=rate),
         grid=(bsz * h, nk, nq),
         interpret=interp,
         compiler_params=pltpu.CompilerParams(
@@ -667,6 +742,7 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *extra_specs,
             qkv_spec_kmaj, kv_spec_kmaj, kv_spec_kmaj, tpl_spec_kmaj,
             tpl_spec_kmaj, qkv_spec_kmaj, row_spec_kmaj, row_spec_kmaj,
         ],
@@ -679,7 +755,7 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add):
             pltpu.VMEM((tile, dh), jnp.float32),
             pltpu.VMEM((tile, dh), jnp.float32),
         ],
-    )(lut_t, qf, kf, vf, template, ids, gf, lse, delta)
+    )(lut_t, *extra_in, qf, kf, vf, template, ids, gf, lse, delta)
 
     dq = dqf.reshape(bsz, h, s_pad, dh)[:, :, :s, :]
     dk = dkf.reshape(bsz, h, s_pad, dh)[:, :, :s, :]
@@ -1132,6 +1208,12 @@ def _dropout_forward(q, k, v, template, ids, lut, seed, rate, scale, double_add)
 
     bsz, h, s, dh = q.shape
     s_pad = -(-s // 8) * 8
+    if s_pad >= _FLASH_MIN_S:
+        # giant-S training path: streaming forward with in-kernel dropout
+        return _tree_forward_flash(
+            q, k, v, template, ids, lut, scale, double_add,
+            seed=seed, rate=rate,
+        )
     if s_pad != s:
         pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
         q, k, v = (jnp.pad(x, pad4) for x in (q, k, v))
@@ -1212,6 +1294,12 @@ def _dropout_backward(q, k, v, template, ids, lut, seed, g, rate, scale, double_
 
     bsz, h, s, dh = q.shape
     s_pad = -(-s // 8) * 8
+    if s_pad >= _FLASH_MIN_S:
+        # giant-S: streaming backward regenerating the same tile masks
+        return _tree_backward_flash(
+            q, k, v, template, ids, lut, g, scale, double_add,
+            seed=seed, rate=rate,
+        )
     if s_pad != s:
         pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
         q, k, v, g = (jnp.pad(x, pad4) for x in (q, k, v, g))

@@ -190,3 +190,60 @@ def test_xla_fallback_dropout_is_unbiased_cpu():
     err = np.abs(mean - np.asarray(det)).max()
     scale = np.abs(np.asarray(det)).max()
     assert err < 0.12 * scale, (err, scale)
+
+
+@tpu_only
+def test_flash_dropout_paths():
+    """Giant-S streaming dropout (fwd + bwd), forced at a toy size:
+    1. rate-0 routes through flash and equals the deterministic flash;
+    2. same seed reproduces, different seed differs;
+    3. Monte-Carlo mean over seeds converges to the deterministic output
+       (dropout of NORMALIZED probs is unbiased);
+    4. exact adjoint identity in v: <g, f(v2)> == <vjp_v(g), v2> — holds
+       ONLY if the backward regenerates the forward's exact tile masks."""
+    saved = (ta._FLASH_MIN_S, ta._FLASH_TILE)
+    # TPU-legal toy dims: the lane (last block) dim must be 128-divisible
+    # on hardware, so the smallest multi-tile case is tile=128, s>256
+    ta._FLASH_MIN_S, ta._FLASH_TILE = 128, 128
+    try:
+        q, k, v, template, ids, lut = make_inputs(seed=3, b=2, h=2, s=300, dh=8)
+        scale = q.shape[-1] ** -0.5
+        seed = jnp.asarray([11], jnp.int32)
+
+        det = ta._tree_attention(q, k, v, template, ids, lut, scale, True)
+        zero = ta.tree_attention_dropout(
+            q, k, v, template, ids, lut, seed, 0.0, scale, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(zero), np.asarray(det), rtol=2e-4, atol=2e-4
+        )
+
+        drop = lambda sd, vv=v: ta.tree_attention_dropout(  # noqa: E731
+            q, k, vv, template, ids, lut, jnp.asarray([sd], jnp.int32),
+            0.3, scale, True,
+        )
+        a = np.asarray(drop(5))
+        np.testing.assert_array_equal(a, np.asarray(drop(5)))
+        assert not np.array_equal(a, np.asarray(drop(6)))
+
+        acc = np.zeros_like(a)
+        n = 64
+        for i in range(n):
+            acc += np.asarray(drop(100 + i))
+        rel = np.abs(acc / n - np.asarray(det)).max() / np.abs(np.asarray(det)).max()
+        assert rel < 0.25, rel  # 1/sqrt(64) Monte-Carlo noise scale
+
+        # adjoint identity (exact up to float error, NOT statistical)
+        rng = np.random.default_rng(9)
+        g = jnp.asarray(rng.standard_normal(a.shape), jnp.float32)
+        v2 = jnp.asarray(rng.standard_normal(v.shape), jnp.float32)
+        f = lambda vv: ta.tree_attention_dropout(  # noqa: E731
+            q, k, vv, template, ids, lut, seed, 0.3, scale, True
+        )
+        _, vjp = jax.vjp(f, v)
+        dv = vjp(g)[0]
+        lhs = float(jnp.sum(g.astype(jnp.float64) * f(v2).astype(jnp.float64)))
+        rhs = float(jnp.sum(dv.astype(jnp.float64) * v2.astype(jnp.float64)))
+        assert abs(lhs - rhs) < 2e-2 * max(abs(lhs), 1.0), (lhs, rhs)
+    finally:
+        ta._FLASH_MIN_S, ta._FLASH_TILE = saved

@@ -23,6 +23,7 @@ def main() -> int:
         "test_determinism_and_seed_sensitivity",
         "test_dropout_statistics",
         "test_backward_matches_mask_oracle",
+        "test_flash_dropout_paths",
     ):
         getattr(t, name)()
         print(f"{name}: OK", flush=True)

@@ -34,6 +34,7 @@ from multimodaldiscussiontransformer_tpu.data.dataset import (
     epoch_permutation,
 )
 from multimodaldiscussiontransformer_tpu.parallel.input import (
+    check_host_shapes,
     host_data_config,
     host_graph_slice,
 )
@@ -121,7 +122,7 @@ class _CollateChunk:
         pad_to = self.pad_to_graphs
         if pad_to is not None and self.host_count > 1:
             pad_to = pad_to // self.host_count
-        return collate(
+        out = collate(
             items,
             spatial_pos_max=self.task_cfg.spatial_pos_max,
             node_buckets=cfg.node_buckets,
@@ -134,6 +135,9 @@ class _CollateChunk:
             text_len_buckets=getattr(cfg, "text_len_buckets", None),
             pad_to_graphs=pad_to,
         )
+        if self.host_count > 1:
+            check_host_shapes(out.asdict(), cfg)
+        return out
 
 
 def grain_batches(

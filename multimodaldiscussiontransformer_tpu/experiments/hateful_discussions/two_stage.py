@@ -243,6 +243,7 @@ def run(
     # 1. corpus ------------------------------------------------------------
     paths = generate_mini_corpus(out, n_trees=n_trees, seed=seed, image_px=image_px)
     communities = json.load(open(paths["communities"]))
+    prev_vocab_env = os.environ.get("MDT_BERT_VOCAB")
     os.environ["MDT_BERT_VOCAB"] = paths["vocab"]
     tokenizer = BertWordPieceTokenizer(paths["vocab"])
     print(f"[two_stage] corpus: {n_trees} trees, vocab {tokenizer.vocab_size}")
@@ -364,6 +365,11 @@ def run(
     # 6. fine-tune + test ----------------------------------------------------
     state2 = trainer2.fit(ds2, max_epoch=1000, max_updates=stage2_updates)
     metrics = trainer2.evaluate(state2, ds2, "test")
+    # restore the caller's tokenizer-vocab env (set above for ingest)
+    if prev_vocab_env is None:
+        os.environ.pop("MDT_BERT_VOCAB", None)
+    else:
+        os.environ["MDT_BERT_VOCAB"] = prev_vocab_env
     result = {
         "stage1_updates": stage1_updates,
         "stage2_updates": stage2_updates,

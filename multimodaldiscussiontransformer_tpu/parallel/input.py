@@ -109,6 +109,33 @@ def assemble_global_batch(host_batches: List[Dict[str, np.ndarray]]) -> Dict[str
     return out
 
 
+def check_host_shapes(batch: Dict[str, np.ndarray], cfg: DataConfig) -> None:
+    """Fail loudly if a host-local collation overflowed its single-entry
+    capacity ladder. Capacities are divided statically across hosts
+    (``host_data_config``) with NO communication, so a host whose slice
+    holds more nodes/images/labels than capacity/host_count would silently
+    round its buffers up (collator ``_bucket`` fallback) and produce a
+    DIFFERENT program shape than its peers — a multi-host hang. Provision
+    the GLOBAL capacities for the worst-case per-host load and keep this
+    check on."""
+    expect = {
+        "input_ids": max(cfg.node_capacity_buckets),
+        "images": max(cfg.image_capacity_buckets),
+    }
+    if batch["y_node"].size:
+        expect["y"] = max(cfg.label_capacity_buckets)
+    for key, cap in expect.items():
+        got = batch[key].shape[0]
+        if got != cap:
+            raise ValueError(
+                f"host-local batch overflowed its capacity ladder: {key} "
+                f"buffer is {got}, per-host capacity {cap}. Raise the "
+                "GLOBAL capacity buckets so every host's worst-case slice "
+                "fits capacity/host_count (capacities are split statically "
+                "across hosts with no communication)."
+            )
+
+
 def local_batch_with_global_indices(
     local: Dict[str, np.ndarray], host_index: int, host_count: int
 ) -> Dict[str, np.ndarray]:

@@ -112,3 +112,21 @@ def test_chunk_order_is_iterate_batches_order():
         np.testing.assert_array_equal(
             np.asarray([ds.get(int(i)).idx for i in chunk]), b.idx
         )
+
+
+def test_host_capacity_overflow_raises():
+    """A host slice that exceeds capacity/host_count must raise (silent
+    bucket-rounding would desynchronize program shapes across hosts)."""
+    import dataclasses
+
+    ds = synthetic_dataset(num_graphs=16, seed=5, **SYN)
+    tiny = dataclasses.replace(
+        DATA, node_capacity_buckets=(16,)  # 8/host: 4 graphs x up to 8 nodes
+    )
+    with pytest.raises(ValueError, match="overflowed"):
+        list(
+            grain_batches(
+                ds, ds.train_idx, tiny, TASK, epoch=1, shuffle=True,
+                image_shape=IMG, host_index=0, host_count=2,
+            )
+        )

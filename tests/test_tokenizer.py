@@ -127,3 +127,25 @@ def test_ingest_prefers_wordpiece(vocab_file, monkeypatch):
     assert isinstance(t, BertWordPieceTokenizer)
     monkeypatch.delenv("MDT_BERT_VOCAB")
     assert find_vocab() is None
+
+
+def test_fuzz_against_hf_slow(tok, hf_tok):
+    """Randomized strings (unicode letters, accents, CJK, punctuation,
+    digits, odd whitespace/controls) must tokenize identically to the HF
+    slow tokenizer."""
+    import random
+
+    rng = random.Random(0)
+    alphabet = (
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJ")
+        + list("0123456789")
+        + list(".,!?;:'\"()[]{}$%&/\\-_+=<>@#~^|")
+        + list(" \t\n\r\x0b  ")
+        + list("àéîöůñçßÆŒ")
+        + list("中国日本語한국")
+        + ["́", "̈"]  # combining marks
+        + ["\x00", "�", "\x07"]  # control/replacement chars
+    )
+    for _ in range(300):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        assert tok.tokenize(text) == hf_tok.tokenize(text), repr(text)

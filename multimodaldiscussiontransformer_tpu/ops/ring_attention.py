@@ -19,9 +19,13 @@ blockwise/ring-attention construction, specialized to the mDT compact bias:
   (template + LUT[ids]) and an online-softmax accumulator, exactly the
   flash kernel's math at block granularity.
 
-Forward-only (giant-discussion scoring); gradients would need the reverse
-ring. XLA-level implementation (matmuls + ppermute) — the per-device block
-work is itself large enough to hit the MXU without a custom kernel.
+Differentiable end to end: the body is scan + ppermute + einsum, all of
+which JAX autodiff reverses (the ppermute transposes to the inverse ring),
+so sequence-parallel TRAINING falls out for free — autodiff residuals are
+O(S^2/n) per device, the same scaling as the sharded bias
+(tests/test_ring_attention.py::test_ring_gradients_match_reference).
+XLA-level implementation (matmuls + ppermute) — the per-device block work
+is itself large enough to hit the MXU without a custom kernel.
 """
 
 from __future__ import annotations

@@ -113,3 +113,50 @@ def test_from_checkpoint(tmp_path):
         image_shape=IMG,
     ).score(d)
     np.testing.assert_allclose(probs, direct, rtol=1e-5)
+
+
+def test_scoring_through_flash_path(monkeypatch):
+    """Serving a larger discussion routes graph attention through the
+    streaming (flash) path (forced thresholds; XLA interpret on CPU) and
+    still produces valid per-node probabilities."""
+    from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
+
+    monkeypatch.setattr(ta, "_FLASH_MIN_S", 16)
+    monkeypatch.setattr(ta, "_FLASH_TILE", 16)
+
+    cfg = tiny_model_config()
+    assert cfg.use_pallas_attention  # default-on compact path
+    model = MDTModel(cfg)
+    rng = np.random.default_rng(1)
+    d = Discussion()
+    d.add_node(-1, np.arange(1, 13, dtype=np.int32))
+    for i in range(1, 20):  # 20 nodes -> S=21 >= forced flash threshold
+        d.add_node(int(rng.integers(0, i)), rng.integers(1, 120, 12).astype(np.int32))
+
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+
+    import jax.numpy as jnp
+
+    data_cfg = DataConfig(
+        batch_size=1,
+        node_buckets=(24,),
+        node_capacity_buckets=(32,),
+        image_capacity_buckets=(0, 4),
+        label_capacity_buckets=(8,),
+    )
+    item = d.to_item()
+    batch = collate(
+        [item],
+        node_buckets=data_cfg.node_buckets,
+        node_capacity_buckets=data_cfg.node_capacity_buckets,
+        image_capacity_buckets=data_cfg.image_capacity_buckets,
+        label_capacity_buckets=data_cfg.label_capacity_buckets,
+        image_shape=IMG,
+    )
+    jb = {k: jnp.asarray(v) for k, v in batch.asdict().items()}
+    params = model.init(jax.random.PRNGKey(0), jb, deterministic=True)
+    scorer = DiscussionScorer(model, params, data_cfg, image_shape=IMG)
+    probs = scorer.score(d)
+    assert probs.shape == (20, cfg.num_classes)
+    assert np.isfinite(probs).all()
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)

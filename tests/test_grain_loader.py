@@ -130,3 +130,39 @@ def test_host_capacity_overflow_raises():
                 image_shape=IMG, host_index=0, host_count=2,
             )
         )
+
+
+def test_grain_workers_over_npz_dataset(tmp_path):
+    """Multi-process Grain workers over the npz-backed HatefulDiscussions
+    dataset: NpzItemLoader must survive pickling into workers and produce
+    the same batches as the in-process path."""
+    import json as _json
+
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions import (
+        ingest,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+        create_hatespeech_dataset,
+    )
+    from tests.test_ingest import make_raw_tree
+
+    raw = tmp_path / "raw.json"
+    with open(raw, "w") as f:
+        for i in range(6):
+            t = make_raw_tree()
+            t["id"] = f"t3_r{i}"
+            t["data"]["id"] = t["id"]
+            f.write(_json.dumps(t) + "\n")
+    root = str(tmp_path / "data")
+    ingest.process(str(raw), root, tokenizer_name="__offline__",
+                   vocab_size=128, log_every=0, max_length=16)
+    ds = create_hatespeech_dataset(root=root, seed=0)
+
+    import dataclasses
+    cfg = dataclasses.replace(DATA, batch_size=4)
+    kw = dict(epoch=1, shuffle=True, image_shape=(3, 224, 224), drop_last=False)
+    ref = list(grain_batches(ds, ds.train_idx, cfg, TASK, worker_count=0, **kw))
+    got = list(grain_batches(ds, ds.train_idx, cfg, TASK, worker_count=2, **kw))
+    assert len(ref) == len(got) > 0
+    for a, b in zip(ref, got):
+        batches_equal(a, b)

@@ -32,6 +32,7 @@ def run_variant(
     batch: int = 12,
     seq: int = 100,
     min_window_sec: float = 12.0,
+    update_freq: int = 1,
 ):
     import jax
 
@@ -63,7 +64,7 @@ def run_variant(
             image_capacity_buckets=(img_cap,),
             label_capacity_buckets=(label_cap,),
         ),
-        optim=OptimConfig(update_freq=1),
+        optim=OptimConfig(update_freq=update_freq),
         task_cfg=TaskConfig(dataset_name="synthetic"),
         dp_size=1,
         tp_size=1,
@@ -158,6 +159,9 @@ VARIANTS = {
     # run rbg_noremat in its own process: flips the global PRNG impl
     "rbg_noremat": dict(remat=False, use_pallas=False),
     "nodropout_noremat": dict(remat=False, use_pallas=True),
+    # the canonical recipe accumulates 3 microbatches per optimizer update
+    # (run_train.sh:65) — measures optax.MultiSteps overhead
+    "uf3_noremat": dict(remat=False, use_pallas=True, update_freq=3),
     "pallas_remat": dict(remat=True, use_pallas=True),
     "pallas_noremat": dict(remat=False, use_pallas=True),
     "big_nodes128": dict(remat=True, use_pallas=False, max_nodes=128,

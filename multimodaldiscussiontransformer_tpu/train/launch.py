@@ -104,6 +104,17 @@ def build_parser() -> argparse.ArgumentParser:
     # batching (TPU-native additions)
     p.add_argument("--length-grouped", action="store_true", default=False,
                    help="group similar-length discussions per batch")
+    p.add_argument("--node-buckets", default=None,
+                   help="comma-separated per-graph node-count bucket ladder "
+                        "(single entry pins ONE compiled program shape)")
+    p.add_argument("--node-capacity-buckets", default=None,
+                   help="comma-separated flat text-capacity ladder")
+    p.add_argument("--image-capacity-buckets", default=None,
+                   help="comma-separated image-capacity ladder")
+    p.add_argument("--label-capacity-buckets", default=None,
+                   help="comma-separated label-capacity ladder")
+    p.add_argument("--text-len-buckets", default=None,
+                   help="comma-separated token-length ladder")
     # compute policy (TPU-native additions)
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize fusion+graph blocks (enable for "
@@ -187,7 +198,28 @@ def config_from_args(args) -> "TrainConfig":
                 attention_probs_dropout_prob=args.attention_dropout,
             ),
         )
-    data = DataConfig(batch_size=args.batch_size, length_grouped=args.length_grouped)
+    def ladder(spec, default):
+        if spec is None:
+            return default
+        return tuple(int(x) for x in str(spec).split(",") if x.strip())
+
+    data = DataConfig(
+        batch_size=args.batch_size,
+        length_grouped=args.length_grouped,
+        node_buckets=ladder(args.node_buckets, DataConfig.node_buckets),
+        node_capacity_buckets=ladder(
+            args.node_capacity_buckets, DataConfig.node_capacity_buckets
+        ),
+        image_capacity_buckets=ladder(
+            args.image_capacity_buckets, DataConfig.image_capacity_buckets
+        ),
+        label_capacity_buckets=ladder(
+            args.label_capacity_buckets, DataConfig.label_capacity_buckets
+        ),
+        text_len_buckets=ladder(
+            args.text_len_buckets, DataConfig.text_len_buckets
+        ),
+    )
     if args.tiny:
         data = DataConfig(
             batch_size=args.batch_size,

@@ -14,8 +14,8 @@ manager ``GraphormerPYGDataset`` (mDT/src/data/pyg_datasets/pyg_dataset.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable, Iterator, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -7,7 +7,7 @@ rows, (K, 3, H, W) image stacks, per-node boolean image/label masks."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

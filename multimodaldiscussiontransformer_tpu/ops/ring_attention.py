@@ -35,10 +35,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from multimodaldiscussiontransformer_tpu.ops.tree_attention import (
-    LUT_SIZE,
     MASK_BIAS,
 )
 

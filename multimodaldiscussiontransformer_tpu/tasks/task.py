@@ -13,7 +13,6 @@ import importlib
 import importlib.util
 import os
 import sys
-from typing import Any, Callable, Dict, Optional
 
 from multimodaldiscussiontransformer_tpu.core.config import TrainConfig
 from multimodaldiscussiontransformer_tpu.core.registry import DATASETS

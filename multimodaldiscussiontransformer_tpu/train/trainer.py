@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from flax.core import FrozenDict
 
 from multimodaldiscussiontransformer_tpu.core.config import TrainConfig
 from multimodaldiscussiontransformer_tpu.core.registry import CRITERIONS
@@ -35,7 +34,6 @@ from multimodaldiscussiontransformer_tpu.data.dataset import (
 from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
 from multimodaldiscussiontransformer_tpu.parallel.mesh import (
     make_mesh,
-    shard_batch,
     shard_params,
 )
 from multimodaldiscussiontransformer_tpu.train.metrics import (

@@ -9,7 +9,6 @@ step-timing context for quick throughput numbers without a trace server.
 from __future__ import annotations
 
 import contextlib
-import json
 import os
 import time
 from typing import Dict, Iterator, Optional

@@ -327,6 +327,16 @@ class OptimConfig:
     adam_eps: float = 1e-8
     weight_decay: float = 0.01
     update_freq: int = 3  # gradient accumulation microsteps
+    # Accumulate the update's microbatches inside ONE jitted step with
+    # lax.scan instead of optax.MultiSteps. Faster (no accumulator-state
+    # churn per microstep: MultiSteps measured ~7% of throughput at
+    # update_freq=3, tools/tpu_perf_sweep.py) and EXACT FairSeq semantics:
+    # grads of the SUMMED losses divided by the update's TOTAL sample size
+    # (fairseq trainer), where MultiSteps averages per-microbatch-normalized
+    # grads (equal only when every microbatch has the same sample size).
+    # Requires all k microbatches of an update to share one shape signature
+    # (pin single-entry bucket ladders).
+    scan_microbatches: bool = False
     clip_norm: float = 0.0
     power: float = 1.0  # polynomial decay power
 

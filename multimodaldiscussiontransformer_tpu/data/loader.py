@@ -104,6 +104,40 @@ class ThreadedPrefetcher:
             self.close()
 
 
+def stack_microbatches(batches, k: int):
+    """Group a host batch stream into (k, ...)-stacked dicts for the
+    scan-accumulated train step. All k members of a group must share one
+    shape signature (pin single-entry bucket ladders); a ragged final
+    group is yielded with its smaller leading dim (one extra compiled
+    shape per epoch tail)."""
+    import numpy as np
+
+    def flush(buf):
+        if len(buf) == 1:
+            return {key: v[None] for key, v in buf[0].items()}
+        first = buf[0]
+        for b in buf[1:]:
+            for key in first:
+                if np.asarray(b[key]).shape != np.asarray(first[key]).shape:
+                    raise ValueError(
+                        f"scan_microbatches needs one shape signature per "
+                        f"update: field '{key}' is "
+                        f"{np.asarray(b[key]).shape} vs "
+                        f"{np.asarray(first[key]).shape}. Pin single-entry "
+                        "bucket ladders (DataConfig / --node-buckets etc.)."
+                    )
+        return {key: np.stack([b[key] for b in buf]) for key in first}
+
+    buf = []
+    for b in batches:
+        buf.append(b.asdict() if hasattr(b, "asdict") else b)
+        if len(buf) == k:
+            yield flush(buf)
+            buf = []
+    if buf:
+        yield flush(buf)
+
+
 def prefetch_to_device(batches, mesh, depth: int = 2):
     """Convenience: iterate device-sharded batches with prefetching.
 

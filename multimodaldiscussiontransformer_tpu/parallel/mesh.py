@@ -80,6 +80,26 @@ def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding
     return specs
 
 
+def shard_stacked_batch(mesh: Mesh, stacked: Dict[str, Any]) -> Dict[str, jax.Array]:
+    """Device-put a (k, ...)-stacked microbatch group: the scan axis k is
+    replicated, the per-batch leading dim (now axis 1) shards on dp."""
+    dp = mesh.shape[DP_AXIS]
+    specs = {}
+    for key, v in stacked.items():
+        arr = np.asarray(v)
+        if (
+            key in _REPLICATED_FIELDS
+            or arr.ndim <= 1
+            or arr.shape[1] % dp != 0
+        ):
+            specs[key] = NamedSharding(mesh, P())
+        else:
+            specs[key] = NamedSharding(
+                mesh, P(None, DP_AXIS, *([None] * (arr.ndim - 2)))
+            )
+    return jax.device_put(stacked, specs)
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, jax.Array]:
     """Device-put a host batch with dp sharding on leading dims.
 

@@ -84,6 +84,7 @@ def make_optimizer(
     params: Any,
     freeze_initial_encoders: bool = False,
     schedule: Optional[Callable] = None,
+    wrap_multisteps: bool = True,
 ) -> optax.GradientTransformation:
     sched = schedule or polynomial_decay_schedule(
         cfg.lr, cfg.end_learning_rate, cfg.warmup_updates,
@@ -104,6 +105,7 @@ def make_optimizer(
     tx = optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, labels
     )
-    if cfg.update_freq > 1:
+    if cfg.update_freq > 1 and wrap_multisteps:
+        # scan_microbatches accumulates inside the train step instead
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.update_freq)
     return tx

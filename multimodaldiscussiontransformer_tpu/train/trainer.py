@@ -121,6 +121,7 @@ class Trainer:
             self.cfg.optim,
             params,
             freeze_initial_encoders=self.cfg.model.freeze_initial_encoders,
+            wrap_multisteps=not self.cfg.optim.scan_microbatches,
         )
         opt_state = self.tx.init(params)
         return TrainState(
@@ -139,6 +140,7 @@ class Trainer:
             self.cfg.optim,
             params,
             freeze_initial_encoders=self.cfg.model.freeze_initial_encoders,
+            wrap_multisteps=not self.cfg.optim.scan_microbatches,
         )
         return state.replace(params=params, opt_state=self.tx.init(params))
 
@@ -178,6 +180,77 @@ class Trainer:
             logs["gnorm"] = jax.lax.stop_gradient(
                 jnp.sqrt(
                     sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+                )
+            )
+            return new_state, logs
+
+        return train_step
+
+    def _make_train_step_scan(self):
+        """One jitted step consuming an update's k microbatches (leaves
+        stacked on a leading k axis) with in-step lax.scan accumulation.
+
+        Exact FairSeq update-freq semantics (fairseq trainer): gradients of
+        the SUMMED per-microbatch losses, divided once by the update's
+        TOTAL sample size — where optax.MultiSteps averages grads that were
+        each normalized by their own microbatch's sample size (equal only
+        for uniform sample sizes). Also removes the per-microstep
+        accumulator-state read/write (~7% of throughput at update_freq=3,
+        tools/tpu_perf_sweep.py)."""
+        model, criterion, tx = self.model, self.criterion, self.tx
+        fast_rng = self.cfg.fast_dropout_rng
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, stacked) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            # static per compiled program; epoch-tail groups may be shorter
+            # than update_freq (one extra cached program)
+            k = jax.tree.leaves(stacked)[0].shape[0]
+            rng, step_rng = jax.random.split(state.rng)
+
+            def micro(carry, batch_i):
+                gacc, ssz_acc, sub = carry
+                sub, use = jax.random.split(sub)
+                if fast_rng:
+                    use = jax.random.wrap_key_data(
+                        jnp.tile(use, 2), impl="rbg"
+                    )
+
+                def loss_fn(params):
+                    out = model.apply(
+                        params, batch_i, deterministic=False,
+                        rngs={"dropout": use},
+                    )
+                    loss, sample_size, logs = criterion(out, batch_i)
+                    return loss, (sample_size, logs)  # summed, unnormalized
+
+                (_, (ssz, logs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                gacc = jax.tree.map(jnp.add, gacc, grads)
+                return (gacc, ssz_acc + ssz.astype(jnp.float32), sub), logs
+
+            gacc0 = jax.tree.map(jnp.zeros_like, state.params)
+            (gacc, total_ssz, _), logs_stack = jax.lax.scan(
+                micro, (gacc0, jnp.asarray(0.0, jnp.float32), step_rng),
+                stacked,
+            )
+            denom = jnp.maximum(total_ssz, 1.0)
+            grads = jax.tree.map(lambda g: g / denom.astype(g.dtype), gacc)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+            new_state = state.replace(
+                step=state.step + k, params=params, opt_state=opt_state,
+                rng=rng,
+            )
+            logs = jax.tree.map(lambda x: jnp.sum(x, axis=0), logs_stack)
+            logs["gnorm"] = jax.lax.stop_gradient(
+                jnp.sqrt(
+                    sum(
+                        jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in jax.tree.leaves(grads)
+                    )
                 )
             )
             return new_state, logs
@@ -250,8 +323,14 @@ class Trainer:
         if state is None:
             first = next(iter(self.train_batches(dataset, epoch=1)))
             state = self.init_state(first.asdict())
+        scan_mode = (
+            self.cfg.optim.scan_microbatches and self.cfg.optim.update_freq > 1
+        )
         if self._train_step is None:
-            self._train_step = self._make_train_step()
+            self._train_step = (
+                self._make_train_step_scan() if scan_mode
+                else self._make_train_step()
+            )
 
         import time
 
@@ -296,20 +375,51 @@ class Trainer:
             consumed = micro_steps - (start_epoch - 1) * bpe
             if 0 < consumed < bpe:
                 skip_batches = consumed
+        from multimodaldiscussiontransformer_tpu.data.loader import (
+            ThreadedPrefetcher,
+            stack_microbatches,
+        )
+        from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+            shard_stacked_batch,
+        )
+
+        def epoch_stream(epoch):
+            if scan_mode:
+                return ThreadedPrefetcher(
+                    stack_microbatches(self.train_batches(dataset, epoch), k),
+                    lambda h: shard_stacked_batch(self.mesh, h),
+                )
+            return prefetch_to_device(
+                self.train_batches(dataset, epoch), self.mesh
+            )
+
         with self.mesh:
             for epoch in range(start_epoch, max_epoch + 1):
                 batch_index = -1
-                for jb in prefetch_to_device(
-                    self.train_batches(dataset, epoch), self.mesh
-                ):
+                for jb in epoch_stream(epoch):
                     batch_index += 1
-                    if epoch == start_epoch and batch_index < skip_batches:
-                        continue
-                    state, logs = self._train_step(state, jb)
-                    acc.update(logs)
-                    micro_steps += 1
-                    num_updates = micro_steps // k
-                    window_graphs += int(jb["idx"].shape[0])
+                    if scan_mode:
+                        # resume skipping in whole accumulation groups
+                        if (
+                            epoch == start_epoch
+                            and batch_index < skip_batches // k
+                        ):
+                            continue
+                        state, logs = self._train_step(state, jb)
+                        acc.update(logs)
+                        micro_steps += int(jb["idx"].shape[0])
+                        num_updates = micro_steps // k
+                        window_graphs += int(
+                            jb["idx"].shape[0] * jb["idx"].shape[1]
+                        )
+                    else:
+                        if epoch == start_epoch and batch_index < skip_batches:
+                            continue
+                        state, logs = self._train_step(state, jb)
+                        acc.update(logs)
+                        micro_steps += 1
+                        num_updates = micro_steps // k
+                        window_graphs += int(jb["idx"].shape[0])
                     if num_updates - last_logged >= cfg.log_interval:
                         last_logged = num_updates
                         m = acc.reduce()

@@ -321,6 +321,71 @@ def main() -> None:
     except Exception as e:  # the headline metric must survive big-tree issues
         big = {"bigtree_error": repr(e)[:800]}
 
+    # flash bucket (VERDICT r2 weak 7): ONE giant tree past the flash
+    # threshold (S = Nmax+1 = 769 >= _FLASH_MIN_S = 513,
+    # ops/tree_attention.py) trained with attention dropout ON — the
+    # streaming forward + three-pass streaming backward + tile-regenerated
+    # dropout masks are the whole hot path, and the (S, S) probs never
+    # materialize in any pass
+    flash = {}
+    try:
+        from multimodaldiscussiontransformer_tpu.data.collator import collate
+        from multimodaldiscussiontransformer_tpu.data.synthetic import (
+            synthetic_item,
+        )
+        import numpy as _np
+
+        FLASH_NODES = 768  # S = 769
+        flash_cfg = cfg.replace(
+            data=DataConfig(
+                batch_size=1,
+                node_buckets=(FLASH_NODES,),
+                node_capacity_buckets=(FLASH_NODES,),
+                image_capacity_buckets=(16,),
+                label_capacity_buckets=(256,),
+            ),
+            model=cfg.model.replace(remat=True),
+        )
+        flash_trainer = Trainer(flash_cfg, mesh=mesh)
+        flash_item = synthetic_item(
+            idx=0, num_nodes=FLASH_NODES, rng=_np.random.default_rng(0),
+            seq_len=SEQ, vocab_size=flash_cfg.model.text_tower.vocab_size,
+            image_prob=0.01, image_shape=(3, 224, 224),
+        )
+        flash_host = collate(
+            [flash_item], spatial_pos_max=flash_cfg.task_cfg.spatial_pos_max,
+            node_buckets=(FLASH_NODES,),
+            node_capacity_buckets=(FLASH_NODES,),
+            image_capacity_buckets=(16,), label_capacity_buckets=(256,),
+        ).asdict()
+        flash_flops = train_step_flops(
+            flash_cfg.model,
+            batch=1,
+            node_capacity=flash_host["input_ids"].shape[0],
+            image_capacity=flash_host["images"].shape[0],
+            seq_len=flash_host["input_ids"].shape[1],
+            max_nodes=flash_host["in_degree"].shape[1],
+        )
+        flash_state = flash_trainer.init_state(flash_host)
+        flash_step = flash_trainer._make_train_step()
+        with mesh:
+            fjb = shard_batch(mesh, flash_host)
+            for _ in range(2):
+                flash_state, flogs = flash_step(flash_state, fjb)
+            _loss_value(flogs)
+            flash_state, frate, flosses = _timed_window(
+                flash_step, flash_state, [fjb], 8
+            )
+        assert all(math.isfinite(v) for v in flosses)
+        flash = {
+            "flash_s": FLASH_NODES + 1,
+            "flash_throughput": round(frate, 3),
+            "flash_unit": "giant-discussions/sec/chip",
+            "flash_mfu": round(flash_flops["train_total"] * frate / peak, 4),
+        }
+    except Exception as e:
+        flash = {"flash_error": repr(e)[:800]}
+
     discussions_per_sec = steps_per_sec * BATCH
     print(
         json.dumps(
@@ -348,6 +413,7 @@ def main() -> None:
                 "infer_unit": "discussions/sec/chip",
                 "infer_mfu": round(infer_mfu, 4),
                 **big,
+                **flash,
             }
         )
     )

@@ -162,6 +162,18 @@ class ModelConfig:
     # standalone 3x faster at S>=257, and the streaming variant extends
     # S past VMEM. Off-TPU backends transparently fall back to XLA.
     use_pallas_attention: bool = True
+    # sequence/context parallelism: when True AND the ambient mesh has an
+    # 'sp' axis (make_mesh(..., sp_size>1)), the graph attention's node
+    # axis S is sharded over that axis and computed with the differentiable
+    # ring attention (ops/ring_attention.py) — k/v blocks rotate over ICI
+    # via ppermute and the O(S^2) bias structure is itself sharded 1/sp per
+    # device. This is the TPU-native answer to trees too big for one chip
+    # (the reference's only answer is data-side pruning,
+    # Pre-Processing/3-prune-trees.py:16-39, and spatial_pos_max clipping,
+    # collator.py:122-126). Training and scoring both supported (the ring
+    # body is scan+ppermute+einsum, reverse-differentiable; attention-prob
+    # dropout regenerates per-tile masks from a seed inside the ring).
+    sequence_parallel: bool = False
     # rematerialize fusion+graph blocks to trade FLOPs for HBM. Off by
     # default: the canonical config (batch 12/chip, 256-node capacity) fits
     # v5e HBM comfortably and remat costs ~21% measured throughput
@@ -328,15 +340,16 @@ class OptimConfig:
     weight_decay: float = 0.01
     update_freq: int = 3  # gradient accumulation microsteps
     # Accumulate the update's microbatches inside ONE jitted step with
-    # lax.scan instead of optax.MultiSteps. Faster (no accumulator-state
-    # churn per microstep: MultiSteps measured ~7% of throughput at
-    # update_freq=3, tools/tpu_perf_sweep.py) and EXACT FairSeq semantics:
-    # grads of the SUMMED losses divided by the update's TOTAL sample size
-    # (fairseq trainer), where MultiSteps averages per-microbatch-normalized
-    # grads (equal only when every microbatch has the same sample size).
-    # Requires all k microbatches of an update to share one shape signature
-    # (pin single-entry bucket ladders).
-    scan_microbatches: bool = False
+    # lax.scan instead of optax.MultiSteps. DEFAULT ON: faster (no
+    # accumulator-state churn per microstep: MultiSteps measured ~7% of
+    # throughput at update_freq=3, tools/tpu_perf_sweep.py) and EXACT
+    # FairSeq semantics: grads of the SUMMED losses divided by the update's
+    # TOTAL sample size (fairseq trainer), where MultiSteps averages
+    # per-microbatch-normalized grads (equal only when every microbatch has
+    # the same sample size). Mixed bucket shapes within an update are grown
+    # to the group max with inert padding (loader.stack_microbatches);
+    # False falls back to MultiSteps.
+    scan_microbatches: bool = True
     clip_norm: float = 0.0
     power: float = 1.0  # polynomial decay power
 
@@ -363,6 +376,9 @@ class TrainConfig:
     # mesh geometry
     dp_size: int = -1  # -1: all devices
     tp_size: int = 1
+    # sequence-parallel axis size (giant trees; pairs with
+    # ModelConfig.sequence_parallel — see that field's doc)
+    sp_size: int = 1
     # Generate dropout masks with the TPU hardware RNG (rbg) instead of
     # threefry: the model is dropout-heavy (0.4/0.3/0.3 on every layer) and
     # threefry bits are compute-bound on TPU — measured +16% train

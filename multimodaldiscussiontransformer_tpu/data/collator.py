@@ -105,6 +105,75 @@ class Batch:
         return int(self.input_ids.shape[0])
 
 
+def pad_batch_to_shapes(
+    batch: Dict[str, np.ndarray], shapes: Dict[str, Tuple[int, ...]]
+) -> Dict[str, np.ndarray]:
+    """Grow a collated batch's capacity axes to ``shapes`` with INERT
+    padding — exactly what ``collate`` would have produced had it picked
+    the larger buckets (the padding-invariance contract,
+    tests/test_model.py::test_padding_invariance, guarantees the grown
+    slots cannot change any real output).
+
+    Growable axes: text length t, flat node capacity C, image capacity I,
+    label capacity L, per-graph node count Nmax (and the bias's S=Nmax+1).
+    The per-graph count B must match (an accumulation group always comes
+    from one fixed-batch-size stream). Pad sentinels that encode the OLD
+    capacity (``image_node``/``y_node`` -> C) are re-pointed at the new one."""
+    b = batch["idx"].shape[0]
+    if shapes["idx"][0] != b:
+        raise ValueError(
+            f"pad_batch_to_shapes cannot grow the graph axis ({b} -> "
+            f"{shapes['idx'][0]}); accumulation groups must share a batch size"
+        )
+    old_cap = batch["input_ids"].shape[0]
+    new_cap = shapes["input_ids"][0]
+    old_nmax = batch["in_degree"].shape[1]
+    new_nmax = shapes["in_degree"][1]
+    out: Dict[str, np.ndarray] = {}
+    for k, v in batch.items():
+        tgt = shapes[k]
+        if v.shape == tgt:
+            out[k] = v
+            continue
+        grown = np.zeros(tgt, dtype=v.dtype)
+        if k == "attn_bias":
+            grown[:] = NEG_INF
+            # rows past the old S follow the collate pad-row recipe:
+            # cols [0, n_g] are 0 (collator.py:38-47 semantics), rest -inf
+            n_g = batch["grid_mask"].sum(axis=1)  # (B,)
+            old_s, new_s = v.shape[1], tgt[1]
+            cols = np.arange(new_s)
+            grown[:, old_s:, :] = np.where(
+                (cols[None, :] <= n_g[:, None])[:, None, :], 0.0, NEG_INF
+            )
+            grown[:, :old_s, :old_s] = v
+        elif k == "node_graph":
+            grown[:] = b  # pad sentinel: graph-count, capacity-independent
+            grown[: v.shape[0]] = v
+        elif k == "image_node":
+            grown[:] = new_cap
+            grown[: v.shape[0]] = np.where(
+                batch["image_mask"], v, new_cap
+            )
+        elif k == "y_node":
+            grown[:] = new_cap
+            grown[: v.shape[0]] = np.where(
+                batch["y_slot_mask"], v, new_cap
+            )
+        else:
+            # zero-padded everywhere else: ids/masks/degrees/spatial buckets
+            # all use 0 as their padding value
+            grown[tuple(slice(0, d) for d in v.shape)] = v
+        out[k] = grown
+    # re-point flat grid indices at the grown grid if Nmax changed:
+    # flat scatter/gather targets are node_graph * Nmax + node_pos, which
+    # the MODEL computes from in_degree's shape — node_graph/node_pos are
+    # per-node coordinates, unchanged by capacity growth. (No action; noted
+    # for the reader: old_nmax/new_nmax only affect the attn_bias block.)
+    del old_cap, old_nmax, new_nmax
+    return out
+
+
 def collate(
     items: List[GraphItem],
     spatial_pos_max: int = 5,
@@ -117,6 +186,7 @@ def collate(
     image_shape: Tuple[int, int, int] = (3, 224, 224),
     text_len_buckets: Optional[Sequence[int]] = None,
     pad_to_graphs: Optional[int] = None,
+    text_len: Optional[int] = None,
 ) -> Batch:
     """Collate preprocessed GraphItems into one static-shape Batch.
 
@@ -132,10 +202,24 @@ def collate(
     program and shard over dp. A pad graph is a graph whose every node row
     is padding (``grid_mask`` all-False, ``idx`` -1); it consumes no flat
     text/image/label capacity, ``nsamples`` counts only real graphs, and
-    per-graph validity is recoverable as ``grid_mask.any(-1)``."""
+    per-graph validity is recoverable as ``grid_mask.any(-1)``.
+
+    ``items`` may be EMPTY when ``pad_to_graphs`` is set (a multi-host
+    ragged eval tail can leave later hosts with zero rows): the result is an
+    all-pad batch whose shapes match peers collating real rows under
+    single-entry ladders. ``text_len`` then supplies the token length that
+    non-empty peers would derive from their items."""
     b = len(items)
-    t = items[0].input_ids.shape[1]
-    if text_len_buckets:
+    if not items:
+        if pad_to_graphs is None or text_len is None:
+            raise ValueError(
+                "collate([]) needs pad_to_graphs and text_len to emit an "
+                "all-pad batch"
+            )
+        t = text_len
+    else:
+        t = items[0].input_ids.shape[1]
+    if text_len_buckets and items:
         longest = max(
             (
                 int(np.max(np.where(it.attention_mask.any(axis=0))[0], initial=0)) + 1
@@ -156,7 +240,7 @@ def collate(
         ]
     n_per_graph = [it.num_nodes for it in items]
     total_nodes = sum(n_per_graph)
-    nmax = _bucket(max(n_per_graph), node_buckets)
+    nmax = _bucket(max(n_per_graph, default=1), node_buckets)
     cap = _bucket(total_nodes, node_capacity_buckets, shard_multiple)
     n_images = sum(int(it.x_image_index.sum()) for it in items)
     icap = _bucket(n_images, image_capacity_buckets, shard_multiple)

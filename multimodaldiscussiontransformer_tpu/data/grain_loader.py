@@ -112,6 +112,20 @@ class _CollateChunk:
 
     def __call__(self, chunk: np.ndarray) -> Batch:
         if self.host_count > 1:
+            if len(chunk) != self.global_batch and self.pad_to_graphs is None:
+                # a ragged tail sliced per host would give later hosts
+                # short/empty item lists and desynchronized shapes — the
+                # multi-host hang check_host_shapes exists to prevent
+                raise ValueError(
+                    f"multi-host loading got a ragged chunk of {len(chunk)} "
+                    f"rows (global batch {self.global_batch}); use "
+                    "drop_last=True for training or pad_tail_to_batch=True "
+                    "for eval so every chunk is host-sliceable"
+                )
+            # a short tail slices proportionally: host h owns rows
+            # [h*per, (h+1)*per) of the padded global batch, so its real
+            # rows are whatever of the tail falls in that window (possibly
+            # none — collate([]) emits the matching all-pad batch)
             chunk = chunk[
                 host_graph_slice(
                     self.host_index, self.host_count, self.global_batch
@@ -134,6 +148,7 @@ class _CollateChunk:
             image_shape=self.image_shape,
             text_len_buckets=getattr(cfg, "text_len_buckets", None),
             pad_to_graphs=pad_to,
+            text_len=cfg.max_text_len,
         )
         if self.host_count > 1:
             check_host_shapes(out.asdict(), cfg)

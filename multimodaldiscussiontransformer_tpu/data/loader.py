@@ -106,27 +106,34 @@ class ThreadedPrefetcher:
 
 def stack_microbatches(batches, k: int):
     """Group a host batch stream into (k, ...)-stacked dicts for the
-    scan-accumulated train step. All k members of a group must share one
-    shape signature (pin single-entry bucket ladders); a ragged final
-    group is yielded with its smaller leading dim (one extra compiled
-    shape per epoch tail)."""
+    scan-accumulated train step.
+
+    Group members with different bucket shapes are grown to the group's
+    member-wise max with INERT padding (collator.pad_batch_to_shapes —
+    numerics-identical by the padding-invariance contract), so multi-entry
+    bucket ladders work: the compiled-signature space is the set of
+    member-wise-max combinations, the same ladder space as single batches.
+    A ragged final group is yielded with its smaller leading dim (one extra
+    compiled shape per epoch tail)."""
     import numpy as np
+
+    from multimodaldiscussiontransformer_tpu.data.collator import (
+        pad_batch_to_shapes,
+    )
 
     def flush(buf):
         if len(buf) == 1:
             return {key: v[None] for key, v in buf[0].items()}
-        first = buf[0]
-        for b in buf[1:]:
-            for key in first:
-                if np.asarray(b[key]).shape != np.asarray(first[key]).shape:
-                    raise ValueError(
-                        f"scan_microbatches needs one shape signature per "
-                        f"update: field '{key}' is "
-                        f"{np.asarray(b[key]).shape} vs "
-                        f"{np.asarray(first[key]).shape}. Pin single-entry "
-                        "bucket ladders (DataConfig / --node-buckets etc.)."
-                    )
-        return {key: np.stack([b[key] for b in buf]) for key in first}
+        shapes = {
+            key: tuple(
+                max(np.asarray(b[key]).shape[i] for b in buf)
+                for i in range(np.asarray(buf[0][key]).ndim)
+            )
+            for key in buf[0]
+        }
+        if any(np.asarray(b[key]).shape != shapes[key] for b in buf for key in shapes):
+            buf = [pad_batch_to_shapes(b, shapes) for b in buf]
+        return {key: np.stack([b[key] for b in buf]) for key in buf[0]}
 
     buf = []
     for b in batches:

@@ -1,0 +1,244 @@
+"""Does the graph path EARN its keep? Train on a corpus whose labels are
+only decidable from discussion context, and ablate the context away.
+
+The reference's raison d'etre is discussion-context hate classification
+(reference README.md:8-14: "discussions are not isolated comments");
+its recipe (run_train.sh:28-65) never demonstrates that in-repo. This
+experiment constructs the demonstration:
+
+1. ``two_stage.generate_mini_corpus(label_mode="context")``: a comment is
+   hate IFF its PARENT's text carries a marker word; every labeled body is
+   signal-free, so per-comment text is at chance by construction;
+2. FULL model: the standard mDT (text tower + fusion + graphormer tree
+   attention) trained with the node-prediction recipe -> test F1;
+3. CONTEXT-BLIND ablation: the SAME architecture/recipe on the same
+   labeled nodes, but each node re-packed as a single-node tree (no
+   parents, no siblings — what a per-comment classifier sees) -> test F1.
+
+A large full-vs-blind margin is the trained-model evidence that the
+fusion/graphormer machinery LEARNS from tree context, not just that it
+wires up.
+
+Run: ``python -m multimodaldiscussiontransformer_tpu.experiments.\
+hateful_discussions.context_ablation --out /tmp/ctx`` (~10 min CPU at
+defaults). CI covers a reduced version (tests/test_context_ablation.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from multimodaldiscussiontransformer_tpu.data.preprocess import (
+    GraphItem,
+    preprocess_item,
+)
+from multimodaldiscussiontransformer_tpu.data.trees import tree_distance_pairs
+
+
+def context_blind_items(ds, image_shape=(3, 32, 32)) -> List[GraphItem]:
+    """Re-pack every graph copy as a single-node tree holding only its
+    labeled node (same tokens, same label, no context) — the ablation
+    keeps tokenization, model, and training recipe identical and removes
+    ONLY the discussion structure."""
+    items = []
+    for i in range(len(ds)):
+        it = ds.get(i)
+        assert it.y_mask is not None and it.y_mask.any()
+        node = int(np.flatnonzero(it.y_mask)[0])
+        items.append(
+            preprocess_item(
+                idx=it.idx,
+                tokens={
+                    "input_ids": it.input_ids[node : node + 1],
+                    "token_type_ids": it.token_type_ids[node : node + 1],
+                    "attention_mask": it.attention_mask[node : node + 1],
+                },
+                edge_index=np.zeros((2, 0), np.int64),
+                distance_pairs=tree_distance_pairs(
+                    np.asarray([-1], np.int64)
+                ),
+                x_images=np.zeros((0,) + tuple(image_shape), np.float32),
+                x_image_index=np.zeros(1, bool),
+                y=np.asarray(it.y).reshape(-1),
+                y_mask=np.asarray([True]),
+            )
+        )
+    return items
+
+
+def _train_eval(ds, model_cfg, data_cfg, updates, seed, img_shape) -> Dict[str, float]:
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        OptimConfig,
+        TaskConfig,
+        TrainConfig,
+    )
+    from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(
+        model=model_cfg,
+        data=data_cfg,
+        optim=OptimConfig(
+            lr=1e-3, warmup_updates=10,
+            total_num_update=max(updates, 1), update_freq=1,
+        ),
+        task_cfg=TaskConfig(dataset_name="hateful_discussions", seed=seed),
+        task="node_prediction",
+        criterion="node_cross_entropy",
+        positive_weight=1.5,  # run_train.sh:41
+        log_interval=50,
+        validate_interval_updates=0,
+        dp_size=1,
+        tp_size=1,
+        fast_dropout_rng=False,
+    )
+    trainer = Trainer(cfg, image_shape=img_shape)
+    state = trainer.fit(ds, max_epoch=100000, max_updates=updates)
+    return trainer.evaluate(state, ds, "test")
+
+
+def run(
+    out: str,
+    n_trees: int = 300,
+    seed: int = 0,
+    updates: int = 300,
+    max_length: int = 24,
+    min_margin: Optional[float] = None,
+) -> Dict[str, float]:
+    from multimodaldiscussiontransformer_tpu.core import registry
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        BertTowerConfig,
+        DataConfig,
+        tiny_model_config,
+    )
+    from multimodaldiscussiontransformer_tpu.data.dataset import (
+        DiscussionDataset,
+    )
+    from multimodaldiscussiontransformer_tpu.data.tokenizer import (
+        BertWordPieceTokenizer,
+    )
+    from multimodaldiscussiontransformer_tpu.data_prep.splits import make_splits
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+        create_hatespeech_dataset,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.ingest import (
+        process,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.two_stage import (
+        generate_mini_corpus,
+    )
+
+    registry.populate()
+    image_px = 32
+    img_shape = (3, image_px, image_px)
+
+    paths = generate_mini_corpus(
+        out, n_trees=n_trees, seed=seed, image_px=image_px,
+        image_prob=0.0, label_mode="context",
+    )
+    prev_vocab = os.environ.get("MDT_BERT_VOCAB")
+    os.environ["MDT_BERT_VOCAB"] = paths["vocab"]
+    try:
+        tokenizer = BertWordPieceTokenizer(paths["vocab"])
+        split_dir = os.path.join(out, "splits")
+        make_splits(paths["raw"], split_dir, n_splits=1, seed=seed)
+        data_root = os.path.join(out, "data")
+        n_copies = process(
+            paths["raw"], data_root,
+            train_idx_file=os.path.join(split_dir, "train-idx.txt"),
+            test_idx_file=os.path.join(split_dir, "test-idx.txt"),
+            tokenizer_name="bert-base-uncased",  # -> WordPiece via env
+            image_root=out, max_length=max_length, image_size=image_px,
+            log_every=0,
+        )
+        print(f"[context_ablation] ingested {n_copies} labeled-node copies")
+
+        ds = create_hatespeech_dataset(root=data_root, seed=seed)
+        blind = DiscussionDataset(
+            items=context_blind_items(ds, img_shape),
+            train_idx=ds.train_idx,
+            valid_idx=ds.valid_idx,
+            test_idx=ds.test_idx,
+        )
+
+        model_cfg = tiny_model_config().replace(
+            use_image_tower=False,
+            # unfreeze: there is no pretrained tower here — a random-init
+            # FROZEN embedding/bottom layer (the reference's
+            # --freeze-initial-encoders assumes pretrained weights) starves
+            # the context pathway
+            freeze_initial_encoders=False,
+            text_tower=BertTowerConfig(
+                vocab_size=tokenizer.vocab_size,
+                hidden_size=64,
+                num_hidden_layers=4,
+                num_attention_heads=4,
+                intermediate_size=128,
+                max_position_embeddings=max(64, max_length),
+            ),
+        )
+        data_cfg = DataConfig(
+            batch_size=8,
+            max_text_len=max_length,
+            text_len_buckets=(max_length,),
+            node_buckets=(16,),
+            node_capacity_buckets=(128,),
+            image_capacity_buckets=(0,),
+            label_capacity_buckets=(64,),
+        )
+
+        full = _train_eval(ds, model_cfg, data_cfg, updates, seed, img_shape)
+        print(f"[context_ablation] FULL  {json.dumps({k: round(float(v), 4) for k, v in full.items()})}")
+        blind_m = _train_eval(
+            blind, model_cfg, data_cfg, updates, seed, img_shape
+        )
+        print(f"[context_ablation] BLIND {json.dumps({k: round(float(v), 4) for k, v in blind_m.items()})}")
+    finally:
+        if prev_vocab is None:
+            os.environ.pop("MDT_BERT_VOCAB", None)
+        else:
+            os.environ["MDT_BERT_VOCAB"] = prev_vocab
+
+    result = {
+        "n_trees": n_trees,
+        "updates": updates,
+        "f1_full": round(float(full.get("f1", 0.0)), 4),
+        "f1_context_blind": round(float(blind_m.get("f1", 0.0)), 4),
+        "accuracy_full": round(float(full.get("accuracy", 0.0)), 4),
+        "accuracy_context_blind": round(float(blind_m.get("accuracy", 0.0)), 4),
+        "margin": round(
+            float(full.get("f1", 0.0)) - float(blind_m.get("f1", 0.0)), 4
+        ),
+    }
+    print("[context_ablation] RESULT " + json.dumps(result))
+    if min_margin is not None and result["margin"] < min_margin:
+        raise SystemExit(
+            f"context margin {result['margin']} below required {min_margin}"
+        )
+    return result
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="graph-context capability ablation"
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-trees", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--updates", type=int, default=300)
+    p.add_argument("--max-length", type=int, default=24)
+    p.add_argument("--min-margin", type=float, default=None)
+    a = p.parse_args(argv)
+    run(
+        a.out, n_trees=a.n_trees, seed=a.seed, updates=a.updates,
+        max_length=a.max_length, min_margin=a.min_margin,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -132,20 +132,25 @@ class HashTokenizer:
 
 
 def make_tokenizer(
-    name: str = "bert-base-uncased", vocab_size: int = 30522
+    name: str = "bert-base-uncased",
+    vocab_size: int = 30522,
+    allow_hash_fallback: bool = False,
 ) -> Callable:
     """Real WordPiece when a vocab is available, HF tokenizer as second
-    choice, hash fallback last.
+    choice. FAILS LOUDLY otherwise: the reference contract is real WordPiece
+    ids (hateful_discussions.py:160-166) and a silent HashTokenizer fallback
+    would produce vocab-incompatible ids that burn a full training run.
 
     Resolution order:
-    1. ``name="__offline__"`` forces the hash fallback (smoke runs with
-       tiny-vocab models);
+    1. ``name="__offline__"`` forces the hash fallback explicitly (smoke
+       runs with tiny-vocab models);
     2. a vendored ``vocab.txt`` (``$MDT_BERT_VOCAB``) drives the offline
        WordPiece implementation (data/tokenizer.py) — vocabulary-exact
        bert-base-uncased tokenization with zero network;
     3. the local HF cache (fail-fast, no retry storm in zero-egress
        environments); a network download only when ``MDT_ALLOW_DOWNLOAD=1``;
-    4. HashTokenizer (NOT vocab-compatible; last resort)."""
+    4. HashTokenizer ONLY when ``allow_hash_fallback=True`` (NOT
+       vocab-compatible); otherwise raise."""
     if name == "__offline__":
         return HashTokenizer(vocab_size)
     if name == "bert-base-uncased":
@@ -186,8 +191,17 @@ def make_tokenizer(
             }
 
         return call
-    except Exception:
-        return HashTokenizer(vocab_size)
+    except Exception as e:
+        if allow_hash_fallback:
+            return HashTokenizer(vocab_size)
+        raise RuntimeError(
+            f"cannot build a real tokenizer for {name!r}: no vendored "
+            "vocab.txt ($MDT_BERT_VOCAB / data/vocab search paths), no "
+            f"local HF cache, and downloads are disabled ({e!r}). Refusing "
+            "to fall back to the vocab-INCOMPATIBLE HashTokenizer — pass "
+            "allow_hash_fallback=True (CLI: --allow-hash-fallback) or use "
+            "tokenizer name '__offline__' to opt in explicitly."
+        ) from e
 
 
 def preprocess_image(path_or_array, size: int = VIT_SIZE) -> np.ndarray:
@@ -360,8 +374,13 @@ def save_graph_npz(path: str, item: GraphItem) -> None:
 _WORKER_STATE: Dict = {}
 
 
-def _ingest_worker_init(tokenizer_name, vocab_size, image_root, max_length, image_size):
-    _WORKER_STATE["tokenizer"] = make_tokenizer(tokenizer_name, vocab_size)
+def _ingest_worker_init(
+    tokenizer_name, vocab_size, image_root, max_length, image_size,
+    allow_hash_fallback=False,
+):
+    _WORKER_STATE["tokenizer"] = make_tokenizer(
+        tokenizer_name, vocab_size, allow_hash_fallback=allow_hash_fallback
+    )
     _WORKER_STATE["args"] = (image_root, max_length, image_size)
 
 
@@ -386,6 +405,7 @@ def process(
     vocab_size: int = 30522,
     image_size: int = VIT_SIZE,
     workers: int = 0,
+    allow_hash_fallback: bool = False,
 ) -> int:
     """Full ingestion over ``pruned-with-images.json``; returns the number of
     processed graph copies. Layout mirrors the reference
@@ -417,7 +437,10 @@ def process(
                     continue
             yield graph_num, line
 
-    init_args = (tokenizer_name, vocab_size, image_root, max_length, image_size)
+    init_args = (
+        tokenizer_name, vocab_size, image_root, max_length, image_size,
+        allow_hash_fallback,
+    )
 
     k = 0
     with open(json_path) as f, open(
@@ -485,6 +508,11 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--vocab-size", type=int, default=30522)
     p.add_argument("--workers", type=int, default=0)
+    p.add_argument(
+        "--allow-hash-fallback", action="store_true",
+        help="permit the vocab-INCOMPATIBLE HashTokenizer when no real "
+        "tokenizer resolves (otherwise ingestion fails loudly)",
+    )
     args = p.parse_args(argv)
     process(
         args.json_path, args.out_root,
@@ -492,6 +520,7 @@ def main(argv=None) -> int:
         tokenizer_name=args.tokenizer, image_root=args.image_root,
         max_length=args.max_length, limit=args.limit,
         vocab_size=args.vocab_size, workers=args.workers,
+        allow_hash_fallback=args.allow_hash_fallback,
     )
     return 0
 

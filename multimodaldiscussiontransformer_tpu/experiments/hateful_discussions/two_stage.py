@@ -56,12 +56,20 @@ COMMUNITY_WORDS = {
 # polar-opposite community pairs (hard negatives, contrastive_loss.py:124)
 POLAR = {0: 1, 1: 0, 2: 3, 3: 2}
 
+# context-mode markers: planted in the PARENT's text; the child's label
+# depends ONLY on whether its parent carries one. Labeled nodes' own bodies
+# are marker- and hate-word-free, so a per-comment text model is at chance
+# and only discussion context separates the classes (the mDT claim,
+# reference README.md:8-14).
+MARKER_WORDS = "klaxon beacon omen".split()
+
 
 def _mini_vocab() -> List[str]:
     words = sorted(
         set(
             HATE_WORDS
             + NEUTRAL_WORDS
+            + MARKER_WORDS
             + [w for ws in COMMUNITY_WORDS.values() for w in ws]
             + "a the this is so very and much title link1 link2".split()
         )
@@ -82,9 +90,21 @@ def generate_mini_corpus(
     seed: int = 0,
     image_prob: float = 0.2,
     image_px: int = 32,
+    label_mode: str = "text",
+    marker_repeats: int = 3,
 ) -> Dict[str, str]:
     """Write raw.json (reference schema), per-tree communities.json, root
-    images, and a covering mini vocab.txt. Returns the file paths."""
+    images, and a covering mini vocab.txt. Returns the file paths.
+
+    ``label_mode``:
+    - "text": a hateful comment's OWN body draws from HATE_WORDS — labels
+      are text-separable (pipeline rehearsal, not a graph-capability test);
+    - "context": every labeled body is hate-word-free; a comment is hate
+      IFF its PARENT's text carries a MARKER word (markers are planted
+      independently of each node's own label) — per-comment text is at
+      chance and only the discussion tree separates the classes. This is
+      the corpus that makes the graph path PROVE itself
+      (experiments/hateful_discussions/context_ablation.py)."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     raw_path = os.path.join(out_dir, "raw.json")
@@ -102,6 +122,12 @@ def generate_mini_corpus(
                 )
                 image = f"images/img{t}.png"
                 Image.fromarray(arr).save(os.path.join(out_dir, image))
+            if label_mode == "context":
+                _write_context_tree(
+                    f, rng, t, community, image,
+                    marker_repeats=marker_repeats,
+                )
+                continue
             n_comments = int(rng.randint(3, 8))
             nodes = []
             for c in range(n_comments):
@@ -153,6 +179,79 @@ def generate_mini_corpus(
     with open(comm_path, "w") as f:
         json.dump(communities, f)
     return {"raw": raw_path, "vocab": vocab_path, "communities": comm_path}
+
+
+def _write_context_tree(
+    f, rng, t: int, community: int, image, marker_repeats: int = 3
+) -> None:
+    """One raw.json line in context label mode (see generate_mini_corpus).
+
+    ``marker_repeats`` controls signal strength: how many marker tokens a
+    marked node's body carries (the rule stays parent-only either way)."""
+    n_comments = int(rng.randint(4, 9))
+    # tree shape first (labels depend on it): comment i hangs under the
+    # submission or a random earlier comment
+    parents = [
+        -1 if (i == 0 or rng.rand() < 0.5) else int(rng.randint(0, i))
+        for i in range(n_comments)
+    ]
+    # marker flags are INDEPENDENT coin flips per node (incl. submission) —
+    # a node's own marker says nothing about its own label
+    sub_marker = bool(rng.rand() < 0.4)
+    markers = [bool(rng.rand() < 0.4) for _ in range(n_comments)]
+
+    def body_for(marker: bool) -> str:
+        text = _sentence(rng, community, False)
+        if marker:
+            text += "".join(
+                " " + str(rng.choice(MARKER_WORDS))
+                for _ in range(marker_repeats)
+            )
+        return text
+
+    nodes = []
+    for c in range(n_comments):
+        parent_marker = (
+            sub_marker if parents[c] == -1 else markers[parents[c]]
+        )
+        label = (
+            "DEG" if parent_marker
+            else ("lti_normal" if rng.rand() < 0.8 else "NA")
+        )
+        nodes.append(
+            {
+                "id": f"c{t}_{c}",
+                "data": {
+                    "id": f"c{t}_{c}",
+                    "body": body_for(markers[c]),
+                    "label": label,
+                    "parent_id": f"t3_{t}",
+                    "link_id": f"t3_{t}",
+                },
+                "images": [],
+                "tree": [],
+            }
+        )
+    top: List[dict] = []
+    for c, p in enumerate(parents):
+        if p == -1:
+            top.append(nodes[c])
+        else:
+            nodes[c]["data"]["parent_id"] = nodes[p]["id"]
+            nodes[p]["tree"].append(nodes[c])
+    tree = {
+        "id": f"t3_{t}",
+        "data": {
+            "id": f"t3_{t}",
+            "title": _sentence(rng, community, False, 4),
+            "selftext": body_for(sub_marker),
+            "label": "NA",  # unlabeled: its marker predicts its CHILDREN
+            "link_id": f"t3_{t}",
+        },
+        "images": [image] if image else [],
+        "tree": top,
+    }
+    f.write(json.dumps(tree) + "\n")
 
 
 def build_contrastive_items(

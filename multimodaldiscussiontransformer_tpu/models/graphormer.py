@@ -191,6 +191,36 @@ class BiasedMultiheadAttention(nn.Module):
             from multimodaldiscussiontransformer_tpu.ops import tree_attention as ta
 
             template, ids, lut = attn_bias
+            if c.sequence_parallel:
+                # sequence parallelism: node axis S sharded over the
+                # ambient mesh's 'sp' axis, ring attention over ICI —
+                # trees bigger than one chip's O(S^2) bias train/score
+                # through the standard model path (ops/ring_attention.py)
+                from multimodaldiscussiontransformer_tpu.ops.ring_attention import (
+                    _sp_shard_spec,
+                    ring_tree_attention_dispatch,
+                )
+
+                if _sp_shard_spec() is not None:
+                    seed = None
+                    rate = 0.0
+                    if not deterministic and c.attention_dropout > 0.0:
+                        seed = jax.random.randint(
+                            self.make_rng("dropout"), (), 0, 2**31 - 1,
+                            jnp.int32,
+                        )
+                        rate = c.attention_dropout
+                    ctx = ring_tree_attention_dispatch(
+                        q.transpose(0, 2, 1, 3),
+                        k.transpose(0, 2, 1, 3),
+                        v.transpose(0, 2, 1, 3),
+                        template, ids, lut,
+                        scale=scaling,
+                        double_add=c.double_add_attn_bias,
+                        dropout_seed=seed,
+                        dropout_rate=rate,
+                    ).transpose(0, 2, 1, 3).reshape(b, s, d)
+                    return self.out_proj(ctx)
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
             if deterministic or c.attention_dropout == 0.0:
                 ctx = ta.tree_attention(

@@ -177,9 +177,10 @@ class MultiGraphormerGraphEncoder(nn.Module):
         )
 
         x = self.graph_node_feature(grid, batch["in_degree"], batch["out_degree"])
-        if c.use_pallas_attention:
+        if c.use_pallas_attention or c.sequence_parallel:
             # compact (template, ids, lut): the (B,H,S,S) bias never
-            # materializes — it is assembled inside the tree-attention kernel
+            # materializes — it is assembled inside the tree-attention
+            # kernel (or tile-by-tile inside the ring for sequence-parallel)
             attn_bias = self.graph_attn_bias.compact_inputs(
                 batch["attn_bias"], batch["spatial_pos"]
             )

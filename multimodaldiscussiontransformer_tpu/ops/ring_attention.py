@@ -57,6 +57,8 @@ def ring_tree_attention_local(
     axis_name: str,
     scale: Optional[float] = None,
     double_add: bool = True,
+    dropout_seed=None,
+    dropout_rate: float = 0.0,
 ):
     """Per-device body — call INSIDE ``shard_map`` with S sharded over
     ``axis_name``.
@@ -65,7 +67,12 @@ def ring_tree_attention_local(
       q, k, v: (B, H, S/n, dh) — this device's node block;
       tpl_strip, ids_strip: (B, S/n, S) — this device's q-row strip of the
         GLOBAL (B, S, S) template/ids;
-      lut: (LUT_SIZE, H), replicated.
+      lut: (LUT_SIZE, H), replicated;
+      dropout_seed/dropout_rate: optional ATTENTION-PROB dropout
+        (multihead_attention.py:196 semantics): masks are regenerated per
+        (q-block, k-block) tile from the seed, applied to the unnormalized
+        probs feeding the value accumulator but NOT to the softmax
+        normalizer — algebraically dropout(softmax(s)) @ v, tile by tile.
     Returns the local (B, H, S/n, dh) attention output.
     """
     scale = q.shape[-1] ** -0.5 if scale is None else scale
@@ -75,6 +82,11 @@ def ring_tree_attention_local(
     chunk = sq  # k-block length == q-block length (uniform shard)
 
     qf = q.astype(jnp.float32) * scale
+    use_dropout = dropout_seed is not None and dropout_rate > 0.0
+    if use_dropout:
+        base_key = jax.random.fold_in(
+            jax.random.PRNGKey(jnp.asarray(dropout_seed, jnp.uint32)[()]), my
+        )
 
     def step(carry, _):
         kb, vb, src, m, l, acc = carry
@@ -91,8 +103,17 @@ def ring_tree_attention_local(
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if use_dropout:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(base_key, src),
+                1.0 - dropout_rate,
+                (b, h, sq, chunk),
+            )
+            pv = p * keep.astype(p.dtype) / (1.0 - dropout_rate)
+        else:
+            pv = p
         acc = acc * alpha + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32)
+            "bhqk,bhkd->bhqd", pv, vb.astype(jnp.float32)
         )
         # rotate the k/v block one hop around the ring
         perm = [(i, (i + 1) % n) for i in range(n)]
@@ -109,6 +130,103 @@ def ring_tree_attention_local(
     )
     (kb, vb, src, m, l, acc), _ = jax.lax.scan(step, init, None, length=n)
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
+def _sp_shard_spec():
+    """If tracing inside a mesh with an 'sp' axis (> 1), return
+    (mesh, sp_size); else None — the ambient-mesh probe that lets the model
+    route attention through the ring without threading a Mesh object
+    through module configs (same idiom as tree_attention._dp_shard_spec)."""
+    try:
+        from jax.sharding import get_abstract_mesh
+
+        mesh = get_abstract_mesh()
+        if mesh is not None and "sp" in mesh.shape and mesh.shape["sp"] > 1:
+            return mesh, mesh.shape["sp"]
+    except Exception:
+        pass
+    return None
+
+
+def ring_tree_attention_dispatch(
+    q, k, v, template, ids, lut,
+    scale: Optional[float] = None,
+    double_add: bool = True,
+    dropout_seed=None,
+    dropout_rate: float = 0.0,
+):
+    """Model-facing entry: ring attention over the ambient mesh's 'sp' axis.
+
+    Called from ``BiasedMultiheadAttention`` when
+    ``ModelConfig.sequence_parallel`` is on and the surrounding mesh has an
+    sp axis (``parallel.mesh.make_mesh(sp_size>1)``). Handles the static
+    plumbing the raw ring body can't:
+
+    - pads S up to a multiple of sp with inert slots (template columns at
+      ``MASK_BIAS`` so padded keys are ignored; padded query rows produce
+      garbage that is sliced off);
+    - shards B over 'dp' when divisible (batch parallelism composes with
+    - the ring), S over 'sp';
+    - optional in-ring attention-prob dropout (seed + rate).
+
+    q, k, v: (B, H, S, dh); template/ids: (B, S, S); lut replicated.
+    """
+    spm = _sp_shard_spec()
+    if spm is None:
+        raise ValueError(
+            "ring_tree_attention_dispatch requires an ambient mesh with an "
+            "'sp' axis (make_mesh(..., sp_size>1))"
+        )
+    mesh, n = spm
+    b, h, s, dh = q.shape
+    pad = (-s) % n
+    if pad:
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        tpl = jnp.pad(
+            template.astype(jnp.float32),
+            ((0, 0), (0, pad), (0, pad)),
+            constant_values=MASK_BIAS,
+        )
+        idp = jnp.pad(ids, ((0, 0), (0, pad), (0, pad)))
+    else:
+        qp, kp, vp, tpl, idp = q, k, v, template.astype(jnp.float32), ids
+
+    dp_ok = "dp" in mesh.shape and mesh.shape["dp"] > 1 and b % mesh.shape["dp"] == 0
+    bax = "dp" if dp_ok else None
+
+    seed_arr = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed, jnp.int32
+    ).reshape(())
+
+    def local(q_, k_, v_, t_, i_, l_, sd_):
+        return ring_tree_attention_local(
+            q_, k_, v_, t_, i_, l_,
+            axis_name="sp",
+            scale=scale,
+            double_add=double_add,
+            dropout_seed=(sd_ if dropout_seed is not None else None),
+            dropout_rate=dropout_rate,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(bax, None, "sp", None),
+            P(bax, None, "sp", None),
+            P(bax, None, "sp", None),
+            P(bax, "sp", None),
+            P(bax, "sp", None),
+            P(),
+            P(),
+        ),
+        out_specs=P(bax, None, "sp", None),
+        check_vma=False,
+    )
+    out = fn(qp, kp, vp, tpl, idp, jnp.asarray(lut), seed_arr)
+    return out[:, :, :s, :] if pad else out
 
 
 def ring_tree_attention(

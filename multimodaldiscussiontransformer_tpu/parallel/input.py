@@ -65,6 +65,13 @@ def host_data_config(cfg: DataConfig, host_count: int) -> DataConfig:
         node_capacity_buckets=split(cfg.node_capacity_buckets),
         image_capacity_buckets=split(cfg.image_capacity_buckets),
         label_capacity_buckets=split(cfg.label_capacity_buckets),
+        # per-batch text trimming picks t from each host's LOCAL rows —
+        # hosts would desync; pin to the max (no trimming) so every host
+        # independently chooses the same static shape
+        text_len_buckets=(
+            (max(cfg.text_len_buckets),) if cfg.text_len_buckets else
+            cfg.text_len_buckets
+        ),
     )
 
 

@@ -11,25 +11,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+SP_AXIS = "sp"
 
 
 def make_mesh(
     dp_size: int = -1,
     tp_size: int = 1,
+    sp_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """A (dp, tp) mesh. ``dp_size=-1`` uses all remaining devices."""
+    """A (dp, tp[, sp]) mesh. ``dp_size=-1`` uses all remaining devices.
+
+    The ``sp`` axis (only materialized when ``sp_size > 1``) shards the
+    graph-attention node axis for giant trees (ring attention,
+    ops/ring_attention.py; enabled by ``ModelConfig.sequence_parallel``).
+    It is innermost so ring ppermute hops ride neighbouring ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp_size == -1:
-        if n % tp_size:
-            raise ValueError(f"{n} devices not divisible by tp={tp_size}")
-        dp_size = n // tp_size
-    if dp_size * tp_size > n:
+        if n % (tp_size * sp_size):
+            raise ValueError(
+                f"{n} devices not divisible by tp={tp_size} x sp={sp_size}"
+            )
+        dp_size = n // (tp_size * sp_size)
+    if dp_size * tp_size * sp_size > n:
         raise ValueError(
-            f"mesh {dp_size}x{tp_size} needs {dp_size * tp_size} devices, "
-            f"have {n}"
+            f"mesh {dp_size}x{tp_size}x{sp_size} needs "
+            f"{dp_size * tp_size * sp_size} devices, have {n}"
         )
+    if sp_size > 1:
+        grid = np.asarray(devices[: dp_size * tp_size * sp_size]).reshape(
+            dp_size, tp_size, sp_size
+        )
+        return Mesh(grid, (DP_AXIS, TP_AXIS, SP_AXIS))
     grid = np.asarray(devices[: dp_size * tp_size]).reshape(dp_size, tp_size)
     return Mesh(grid, (DP_AXIS, TP_AXIS))
 
@@ -47,11 +61,52 @@ _REPLICATED_FIELDS = frozenset({"nsamples"})
 _warned_replicated: set = set()
 
 
+# SP layout (mesh has an 'sp' axis): the per-node second axis of the graph
+# grid fields shards over sp (rows of the O(S^2) bias live 1/sp per device
+# — the memory axis of giant trees), and the flat node/image capacity axes
+# shard over (dp, sp) jointly so the per-node tower work spreads over the
+# whole mesh.
+_SP_ROW_FIELDS = frozenset(
+    {"attn_bias", "spatial_pos", "in_degree", "out_degree", "grid_mask"}
+)
+_SP_FLAT_FIELDS = frozenset(
+    {
+        "input_ids", "token_type_ids", "attention_mask", "node_mask",
+        "node_graph", "node_pos", "images", "image_mask", "image_node",
+    }
+)
+
+
 def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding]:
     specs = {}
     dp = mesh.shape[DP_AXIS]
+    sp = mesh.shape.get(SP_AXIS, 1)
     for k, v in batch.items():
         arr = np.asarray(v)
+        if sp > 1 and arr.ndim > 0 and k in _SP_ROW_FIELDS:
+            lead = DP_AXIS if arr.shape[0] % dp == 0 else None
+            row = (
+                SP_AXIS
+                if arr.ndim >= 2 and arr.shape[1] % sp == 0
+                else None
+            )
+            specs[k] = NamedSharding(
+                mesh, P(lead, row, *([None] * (arr.ndim - 2)))
+            )
+            continue
+        if sp > 1 and arr.ndim > 0 and k in _SP_FLAT_FIELDS:
+            if arr.shape[0] % (dp * sp) == 0:
+                lead = (DP_AXIS, SP_AXIS)
+            elif arr.shape[0] % dp == 0:
+                lead = DP_AXIS
+            elif arr.shape[0] % sp == 0:
+                lead = SP_AXIS
+            else:
+                lead = None
+            specs[k] = NamedSharding(
+                mesh, P(lead, *([None] * (arr.ndim - 1)))
+            )
+            continue
         if (
             k in _REPLICATED_FIELDS
             or arr.ndim == 0

@@ -130,7 +130,14 @@ class DiscussionScorer:
         data_cfg: Optional[DataConfig] = None,
         task_cfg: Optional[TaskConfig] = None,
         image_shape=(3, 224, 224),
+        mesh=None,
     ):
+        """``mesh``: optional device mesh for sharded serving. A mesh with
+        an 'sp' axis (``parallel.mesh.make_mesh(sp_size>1)``) plus a model
+        whose config sets ``sequence_parallel=True`` scores GIANT trees —
+        the node axis and its O(S^2) bias shard 1/sp per chip and attention
+        runs as a ring over ICI (ops/ring_attention.py), so discussions far
+        past one chip's HBM re-score through the same API."""
         import jax
 
         self.model = model
@@ -138,6 +145,7 @@ class DiscussionScorer:
         self.data_cfg = data_cfg or DataConfig(batch_size=1)
         self.task_cfg = task_cfg or TaskConfig()
         self.image_shape = image_shape
+        self.mesh = mesh
         self._apply = jax.jit(
             lambda p, b: self.model.apply(p, b, deterministic=True).logits
         )
@@ -194,8 +202,19 @@ class DiscussionScorer:
             label_capacity_buckets=self.data_cfg.label_capacity_buckets,
             image_shape=self.image_shape,
         )
-        jb = {k: jnp.asarray(v) for k, v in batch.asdict().items()}
-        logits = np.asarray(self._apply(self.params, jb), np.float32)
+        if self.mesh is not None:
+            from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+                shard_batch,
+            )
+
+            with self.mesh:
+                jb = shard_batch(self.mesh, batch.asdict())
+                logits = np.asarray(
+                    jax.device_get(self._apply(self.params, jb)), np.float32
+                )
+        else:
+            jb = {k: jnp.asarray(v) for k, v in batch.asdict().items()}
+            logits = np.asarray(self._apply(self.params, jb), np.float32)
         probs = np.exp(logits - logits.max(-1, keepdims=True))
         probs /= probs.sum(-1, keepdims=True)
         out = []

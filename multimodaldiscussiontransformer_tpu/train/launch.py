@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip-norm", type=float, default=0.0)
     p.add_argument("--batch-size", type=int, default=12)
     p.add_argument("--update-freq", type=int, default=3)
+    p.add_argument("--no-scan-microbatches", action="store_true",
+                   default=False,
+                   help="accumulate with optax.MultiSteps instead of the "
+                        "default in-step lax.scan (FairSeq-exact) path")
     p.add_argument("--max-epoch", type=int, default=37)
     p.add_argument("--max-updates", type=int, default=None)
     # precision: the reference's --fp16 (run_train.sh:45)
@@ -94,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     # mesh
     p.add_argument("--dp-size", type=int, default=-1)
     p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--sp-size", type=int, default=1,
+                   help="sequence-parallel axis size: shard the graph-"
+                        "attention node axis over sp chips (ring attention)"
+                        " for trees bigger than one chip")
     p.add_argument("--fsdp", action="store_true", default=False,
                    help="shard params + optimizer state over the dp axis")
     # HF initialization (the reference downloads pretrained towers at model
@@ -198,6 +206,11 @@ def config_from_args(args) -> "TrainConfig":
                 attention_probs_dropout_prob=args.attention_dropout,
             ),
         )
+    if args.sp_size > 1:
+        # an sp mesh axis is only useful if the model routes its graph
+        # attention through the ring — enable it together
+        model = model.replace(sequence_parallel=True)
+
     def ladder(spec, default):
         if spec is None:
             return default
@@ -247,6 +260,7 @@ def config_from_args(args) -> "TrainConfig":
         multiplication_scale=args.multiplication_scale,
         dp_size=args.dp_size,
         tp_size=args.tp_size,
+        sp_size=args.sp_size,
         fsdp=args.fsdp,
         optim=OptimConfig(
             lr=args.lr,
@@ -256,6 +270,7 @@ def config_from_args(args) -> "TrainConfig":
             adam_eps=args.adam_eps,
             weight_decay=args.weight_decay,
             update_freq=args.update_freq,
+            scan_microbatches=not args.no_scan_microbatches,
             clip_norm=args.clip_norm,
             power=args.power,
         ),

@@ -69,7 +69,7 @@ class Trainer:
             param_dtype=jnp.dtype(cfg.model.param_dtype),
         )
         self.criterion = criterion or self._build_criterion()
-        self.mesh = mesh or make_mesh(cfg.dp_size, cfg.tp_size)
+        self.mesh = mesh or make_mesh(cfg.dp_size, cfg.tp_size, cfg.sp_size)
         self.image_shape = image_shape
         # global-batch semantics: the reference's --batch-size is per GPU
         # (run_train.sh:44, 8 GPUs -> global 96); mirror that as per-dp-
@@ -186,9 +186,16 @@ class Trainer:
 
         return train_step
 
-    def _make_train_step_scan(self):
+    def _make_train_step_scan(self, return_grads: bool = False):
         """One jitted step consuming an update's k microbatches (leaves
         stacked on a leading k axis) with in-step lax.scan accumulation.
+
+        ``return_grads=True`` adds the normalized accumulated gradient tree
+        to the returned logs (``logs["grads"]``) — a test/debug hook for
+        pinning the FairSeq accumulation math pre-optimizer (Adam's first
+        step is ~lr*sign(grad), which amplifies fp-reassociation noise in
+        near-zero gradient elements into full-lr param deltas, so post-
+        optimizer param comparison cannot pin the math tightly).
 
         Exact FairSeq update-freq semantics (fairseq trainer): gradients of
         the SUMMED per-microbatch losses, divided once by the update's
@@ -245,6 +252,8 @@ class Trainer:
                 rng=rng,
             )
             logs = jax.tree.map(lambda x: jnp.sum(x, axis=0), logs_stack)
+            if return_grads:
+                logs["grads"] = grads
             logs["gnorm"] = jax.lax.stop_gradient(
                 jnp.sqrt(
                     sum(
@@ -408,7 +417,11 @@ class Trainer:
                         state, logs = self._train_step(state, jb)
                         acc.update(logs)
                         micro_steps += int(jb["idx"].shape[0])
-                        num_updates = micro_steps // k
+                        # every scan-step invocation applies exactly ONE
+                        # optimizer update — a short epoch-tail group still
+                        # counts (FairSeq counts the tail as a full update),
+                        # so count invocations, not micro_steps // k
+                        num_updates += 1
                         window_graphs += int(
                             jb["idx"].shape[0] * jb["idx"].shape[1]
                         )

@@ -166,3 +166,61 @@ def test_grain_workers_over_npz_dataset(tmp_path):
     assert len(ref) == len(got) > 0
     for a, b in zip(ref, got):
         batches_equal(a, b)
+
+
+def test_grain_multi_host_ragged_tail():
+    """drop_last=False + pad_tail_to_batch: a ragged tail chunk slices
+    proportionally across hosts — later hosts may get an EMPTY slice and
+    must emit the matching all-pad batch, and the assembly still equals the
+    single-process padded collation."""
+    ds = synthetic_dataset(num_graphs=22, seed=4, **SYN)  # 5 full + tail 2
+    kw = dict(
+        epoch=1, shuffle=False, image_shape=IMG, drop_last=False,
+        pad_tail_to_batch=True,
+    )
+    host_streams = [
+        list(
+            grain_batches(
+                ds, ds.train_idx, DATA, TASK, host_index=h, host_count=2,
+                **kw,
+            )
+        )
+        for h in range(2)
+    ]
+    global_ref = list(iterate_batches(ds, ds.train_idx, DATA, TASK, **kw))
+    assert len(host_streams[0]) == len(host_streams[1]) == len(global_ref)
+    # the tail leaves host 1 with zero real rows
+    tail_h1 = host_streams[1][-1].asdict()
+    assert int(tail_h1["nsamples"]) == 0
+    assert not tail_h1["grid_mask"].any()
+    def real_rows_by_node(batch):
+        m = batch["node_mask"]
+        key = batch["node_graph"][m] * 10_000 + batch["node_pos"][m]
+        order = np.argsort(key)
+        return batch["input_ids"][m][order], key[order]
+
+    for b0, b1, ref in zip(host_streams[0], host_streams[1], global_ref):
+        got = assemble_global_batch([b0.asdict(), b1.asdict()])
+        refd = ref.asdict()
+        # per-graph fields are layout-identical; the flat C axis is
+        # host-blocked (host h at offset h*cap_local) vs contiguous in the
+        # single-process collation, so compare its REAL rows semantically
+        for k in ("spatial_pos", "in_degree", "grid_mask", "idx", "attn_bias"):
+            np.testing.assert_array_equal(got[k], refd[k], err_msg=k)
+        assert int(got["nsamples"]) == int(refd["nsamples"])
+        rows_got, key_got = real_rows_by_node(got)
+        rows_ref, key_ref = real_rows_by_node(refd)
+        np.testing.assert_array_equal(key_got, key_ref)
+        np.testing.assert_array_equal(rows_got, rows_ref)
+
+
+def test_grain_multi_host_ragged_tail_without_pad_raises():
+    ds = synthetic_dataset(num_graphs=22, seed=4, **SYN)
+    with pytest.raises(ValueError, match="ragged"):
+        list(
+            grain_batches(
+                ds, ds.train_idx, DATA, TASK, epoch=1, shuffle=False,
+                image_shape=IMG, drop_last=False, pad_tail_to_batch=False,
+                host_index=1, host_count=2,
+            )
+        )

@@ -19,6 +19,9 @@ from multimodaldiscussiontransformer_tpu.parallel.mesh import (
     make_mesh,
     shard_stacked_batch,
 )
+from multimodaldiscussiontransformer_tpu.train.optimizer import (
+    polynomial_decay_schedule,
+)
 from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
 
 IMG = (3, 32, 32)
@@ -75,7 +78,7 @@ def test_scan_step_matches_manual_fairseq_math():
     ds = synthetic_dataset(num_graphs=40, seed=0, **SYN)
     batches = list(trainer.train_batches(ds, epoch=1))[:3]
     state = trainer.init_state(batches[0].asdict())
-    step = trainer._make_train_step_scan()
+    step = trainer._make_train_step_scan(return_grads=True)
 
     # manual reference FIRST — the jitted step donates (and deletes) state
     model, criterion = trainer.model, trainer.criterion
@@ -95,8 +98,8 @@ def test_scan_step_matches_manual_fairseq_math():
         )
         gacc = jax.tree.map(jnp.add, gacc, grads)
         total += float(ssz)
-    grads = jax.tree.map(lambda g: g / max(total, 1.0), gacc)
-    updates, _ = trainer.tx.update(grads, state.opt_state, state.params)
+    grads_ref = jax.tree.map(lambda g: g / max(total, 1.0), gacc)
+    updates, _ = trainer.tx.update(grads_ref, state.opt_state, state.params)
     params_ref = jax.tree.map(
         lambda p, u: p + u.astype(p.dtype), state.params, updates
     )
@@ -107,12 +110,49 @@ def test_scan_step_matches_manual_fairseq_math():
         jb = shard_stacked_batch(trainer.mesh, stacked)
         new_state, logs = step(state, jb)
 
-    ref_leaves = jax.tree.leaves(params_ref)
-    got_leaves = jax.tree.leaves(jax.device_get(new_state.params))
-    for a, b in zip(got_leaves, ref_leaves):
+    # --- the accumulation math itself: accumulated summed grads / total
+    # sample size, compared PRE-optimizer. The dp=2-sharded step reduces
+    # grad sums in a different order than the unsharded manual loop, so
+    # elements agree only to fp32 reassociation noise (measured ~7e-8 abs);
+    # atol=1e-6 gives >10x margin while still pinning the semantics (a
+    # MultiSteps-style per-microbatch normalization error would be O(grad)).
+    g_ref = jax.tree.leaves(jax.device_get(grads_ref))
+    g_got = jax.tree.leaves(jax.device_get(logs["grads"]))
+    for a, b in zip(g_got, g_ref):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
-            rtol=2e-4, atol=2e-5,
+            rtol=2e-4, atol=1e-6,
+        )
+
+    # --- params post-Adam, two-tier. Adam's first step is
+    # lr0 * g/(|g|+eps) (m_hat=g, v_hat=g^2 at step 1), so:
+    # * where |g| >> noise (floor 1e-4 >> 7e-8), the update direction and
+    #   magnitude are stable under reassociation noise d:
+    #   |d update| ~ lr0 * eps/(|g|+eps)^2 * d <= lr0 * 1e-8/1e-8 * 7e-8,
+    #   far below atol -> compare tightly;
+    # * where |g| <~ noise, the quotient g/(|g|+eps) can flip sign entirely:
+    #   the two paths legitimately differ by up to 2*lr0 -> bound, don't
+    #   compare. (This is the mode that made the old all-elements
+    #   rtol=2e-4/atol=2e-5 comparison fail: 3/64 elements of a zero-init
+    #   bias leaf with |g|~1e-8.)
+    lr0 = float(
+        polynomial_decay_schedule(
+            cfg.optim.lr, cfg.optim.end_learning_rate,
+            cfg.optim.warmup_updates, cfg.optim.total_num_update,
+            cfg.optim.power,
+        )(0)
+    )
+    got_leaves = jax.tree.leaves(jax.device_get(new_state.params))
+    ref_leaves = jax.tree.leaves(params_ref)
+    g_floor = 1e-4
+    for a, b, g in zip(got_leaves, ref_leaves, g_ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        g = np.asarray(g, np.float32)
+        big = np.abs(g) > g_floor
+        np.testing.assert_allclose(a[big], b[big], rtol=2e-4, atol=2e-5)
+        np.testing.assert_array_less(
+            np.abs(a[~big] - b[~big]), 2.05 * lr0 + 1e-7
         )
     assert int(new_state.step) == 3
     assert np.isfinite(float(logs["loss"]))
@@ -138,3 +178,87 @@ def test_stack_microbatches_shapes_and_tail():
     ks = [g["idx"].shape[0] for g in groups]
     assert sum(ks) == len(batches)
     assert all(x == 3 for x in ks[:-1])
+
+
+def test_stack_microbatches_pads_mixed_shapes_inertly():
+    """Multi-entry bucket ladders: group members landing in different
+    buckets are grown to the group max with inert padding — the padded
+    scan step must accumulate EXACTLY the same grads as the manual loop
+    over the raw (unpadded) microbatches."""
+    import dataclasses
+
+    base_model = tiny_model_config(
+        dropout=0.0, attention_dropout=0.0, act_dropout=0.0
+    )
+    cfg = make_cfg(
+        model=base_model.replace(
+            text_tower=dataclasses.replace(
+                base_model.text_tower,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            ),
+            image_tower=dataclasses.replace(
+                base_model.image_tower,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            ),
+        ),
+        data=DataConfig(
+            batch_size=4,
+            max_text_len=16,
+            node_buckets=(4, 8),
+            node_capacity_buckets=(16, 32, 64),
+            image_capacity_buckets=(4, 16),
+            label_capacity_buckets=(8, 32),
+            text_len_buckets=(8, 16),
+        ),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+    ds = synthetic_dataset(
+        num_graphs=24, seed=3, min_nodes=2, **SYN
+    )
+    all_batches = list(trainer.train_batches(ds, epoch=1))
+    # pick 3 microbatches guaranteed to span >= 2 distinct signatures
+    by_sig = {}
+    for b in all_batches:
+        sig = tuple(
+            (k, v.shape) for k, v in sorted(b.asdict().items())
+        )
+        by_sig.setdefault(sig, b)
+    assert len(by_sig) > 1, "fixture must actually exercise mixed buckets"
+    batches = (list(by_sig.values()) + all_batches)[:3]
+
+    state = trainer.init_state(batches[0].asdict())
+    step = trainer._make_train_step_scan(return_grads=True)
+
+    model, criterion = trainer.model, trainer.criterion
+
+    def loss_fn(params, b):
+        out = model.apply(params, b, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+        loss, ssz, _ = criterion(out, b)
+        return loss, ssz
+
+    gacc = jax.tree.map(jnp.zeros_like, state.params)
+    total = 0.0
+    for b in batches:
+        jb1 = {k: jnp.asarray(v) for k, v in b.asdict().items()}
+        (_, ssz), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, jb1
+        )
+        gacc = jax.tree.map(jnp.add, gacc, grads)
+        total += float(ssz)
+    grads_ref = jax.tree.map(lambda g: g / max(total, 1.0), gacc)
+
+    stacked = next(iter(stack_microbatches(iter(batches), 3)))
+    assert stacked["input_ids"].shape[0] == 3
+    with trainer.mesh:
+        jb = shard_stacked_batch(trainer.mesh, stacked)
+        _, logs = step(state, jb)
+
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(logs["grads"])),
+        jax.tree.leaves(jax.device_get(grads_ref)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=1e-6,
+        )

@@ -149,3 +149,32 @@ def test_fuzz_against_hf_slow(tok, hf_tok):
     for _ in range(300):
         text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
         assert tok.tokenize(text) == hf_tok.tokenize(text), repr(text)
+
+
+def test_hash_fallback_requires_explicit_opt_in(monkeypatch):
+    """make_tokenizer must raise rather than silently hand back the
+    vocab-INCOMPATIBLE HashTokenizer (reference contract: real WordPiece,
+    hateful_discussions.py:160-166)."""
+    import pytest
+    import transformers
+
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.ingest import (
+        HashTokenizer,
+        make_tokenizer,
+    )
+
+    monkeypatch.delenv("MDT_BERT_VOCAB", raising=False)
+    monkeypatch.delenv("MDT_ALLOW_DOWNLOAD", raising=False)
+
+    def no_cache(*a, **k):
+        raise OSError("no local cache")
+
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained", no_cache
+    )
+    with pytest.raises(RuntimeError, match="HashTokenizer"):
+        make_tokenizer("bert-base-uncased")
+    # the two explicit opt-ins still work
+    t = make_tokenizer("bert-base-uncased", allow_hash_fallback=True)
+    assert isinstance(t, HashTokenizer)
+    assert isinstance(make_tokenizer("__offline__"), HashTokenizer)

@@ -66,12 +66,21 @@ class SelfAttention(nn.Module):
     """HF-style encoder self-attention (shared by BERT and ViT).
 
     Equivalent to ``BertSelfAttention`` + ``BertSelfOutput``'s dense (the
-    residual+LN lives in the caller for ViT, inside for BERT — see users)."""
+    residual+LN lives in the caller for ViT, inside for BERT — see users).
+
+    With ``use_pallas`` (tower config ``use_pallas_attention``, TPU only)
+    the softmax/dropout/value contraction runs through the fused tower
+    kernel (ops/masked_attention.py): the (B, H, S, S) probabilities never
+    materialize in HBM and attention-prob dropout masks are regenerated
+    in-kernel in the backward. The fused path requires a key-only bias —
+    exactly what the towers pass ((B, 1, 1, S) from attention_mask_bias,
+    or None for ViT)."""
 
     hidden_size: int
     num_heads: int
     dropout_rate: float = 0.0
     use_bias: bool = True
+    use_pallas: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -94,6 +103,45 @@ class SelfAttention(nn.Module):
         q = self.query(hidden).reshape(b, s, h, dh)
         k = self.key(hidden).reshape(b, s, h, dh)
         v = self.value(hidden).reshape(b, s, h, dh)
+
+        from multimodaldiscussiontransformer_tpu.ops import masked_attention as ma
+
+        drop = (not deterministic) and self.dropout_rate > 0.0
+        key_only = attn_bias is None or (
+            attn_bias.ndim == 4
+            and attn_bias.shape[1] == 1
+            and attn_bias.shape[2] == 1
+        )
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        # dropout needs the TPU PRNG — off-TPU the XLA + FastDropout path
+        # below is the (numerically equivalent in distribution) fallback
+        kernel_ok = (
+            self.use_pallas
+            and key_only
+            and b > 0
+            and (on_tpu or (ma.FORCE_KERNEL and not drop))
+        )
+        if kernel_ok:
+            kmask = (
+                None if attn_bias is None
+                else attn_bias[:, 0, 0, :].astype(jnp.float32)
+            )
+            seed = None
+            if drop:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, jnp.int32
+                )
+            ctx = ma.masked_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_mask_bias=kmask,
+                seed=seed,
+                rate=self.dropout_rate if drop else 0.0,
+                scale=dh**-0.5,
+            )
+            return ctx.transpose(0, 2, 1, 3).reshape(b, s, self.hidden_size)
+
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(hidden.dtype)
         if attn_bias is not None:
             scores = scores + attn_bias
@@ -115,7 +163,7 @@ class BertLayer(nn.Module):
         c, d, p = self.config, self.dtype, self.param_dtype
         self.attention = SelfAttention(
             c.hidden_size, c.num_attention_heads, c.attention_probs_dropout_prob,
-            dtype=d, param_dtype=p,
+            use_pallas=c.use_pallas_attention, dtype=d, param_dtype=p,
         )
         self.attention_output_dense = nn.Dense(c.hidden_size, dtype=d, param_dtype=p)
         self.attention_output_layernorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=d, param_dtype=p)

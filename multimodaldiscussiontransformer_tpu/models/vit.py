@@ -44,7 +44,7 @@ class ViTLayer(nn.Module):
         self.layernorm_before = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=d, param_dtype=p)
         self.attention = SelfAttention(
             c.hidden_size, c.num_attention_heads, c.attention_probs_dropout_prob,
-            dtype=d, param_dtype=p,
+            use_pallas=c.use_pallas_attention, dtype=d, param_dtype=p,
         )
         self.attention_output_dense = nn.Dense(c.hidden_size, dtype=d, param_dtype=p)
         self.layernorm_after = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=d, param_dtype=p)

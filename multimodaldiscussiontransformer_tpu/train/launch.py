@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False,
                    help="accumulate with optax.MultiSteps instead of the "
                         "default in-step lax.scan (FairSeq-exact) path")
+    p.add_argument("--bf16-adam-state", action="store_true", default=False,
+                   help="store Adam m/v in bfloat16 (f32 math; halves "
+                        "optimizer-state HBM traffic — the fp16-era lever, "
+                        "run_train.sh:45)")
     p.add_argument("--max-epoch", type=int, default=37)
     p.add_argument("--max-updates", type=int, default=None)
     # precision: the reference's --fp16 (run_train.sh:45)
@@ -271,6 +275,7 @@ def config_from_args(args) -> "TrainConfig":
             weight_decay=args.weight_decay,
             update_freq=args.update_freq,
             scan_microbatches=not args.no_scan_microbatches,
+            bf16_adam_state=args.bf16_adam_state,
             clip_norm=args.clip_norm,
             power=args.power,
         ),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from multimodaldiscussiontransformer_tpu.core.config import OptimConfig
@@ -59,6 +60,60 @@ def polynomial_decay_schedule(
     return schedule
 
 
+def scale_by_adam_bf16_state(
+    b1: float, b2: float, eps: float
+) -> optax.GradientTransformation:
+    """Adam moment tracking with bfloat16-STORED m/v, f32 math.
+
+    The optimizer phase is HBM-bandwidth-bound on TPU (elementwise over
+    every parameter); storing the two moment tensors in bf16 halves their
+    read+write traffic and their footprint. Each update upcasts the
+    moments to f32 in-register, applies the standard Adam recurrences and
+    bias correction in f32, and downcasts the new moments once — so the
+    only precision loss is the bf16 quantization of the STORED moments
+    between steps (<=2^-9 relative), not of the update math itself.
+
+    State is an ``optax.ScaleByAdamState`` (same structure as
+    ``optax.scale_by_adam``, bf16 leaves) so checkpoint trees keep the
+    familiar layout."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(p.shape, jnp.bfloat16)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - jnp.power(jnp.float32(b1), cf)
+        bc2 = 1.0 - jnp.power(jnp.float32(b2), cf)
+        mu32 = jax.tree.map(
+            lambda m, g: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            state.mu, updates,
+        )
+        nu32 = jax.tree.map(
+            lambda n, g: b2 * n.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            state.nu, updates,
+        )
+        out = jax.tree.map(
+            lambda m, n: (m / bc1) / (jnp.sqrt(n / bc2) + eps), mu32, nu32
+        )
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda m: m.astype(jnp.bfloat16), mu32),
+            nu=jax.tree.map(lambda n: n.astype(jnp.bfloat16), nu32),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
@@ -90,13 +145,23 @@ def make_optimizer(
         cfg.lr, cfg.end_learning_rate, cfg.warmup_updates,
         cfg.total_num_update, cfg.power,
     )
-    adamw = optax.adamw(
-        learning_rate=sched,
-        b1=cfg.adam_betas[0],
-        b2=cfg.adam_betas[1],
-        eps=cfg.adam_eps,
-        weight_decay=cfg.weight_decay,
-    )
+    if cfg.bf16_adam_state:
+        # same transform chain as optax.adamw, with bf16-stored moments
+        adamw = optax.chain(
+            scale_by_adam_bf16_state(
+                cfg.adam_betas[0], cfg.adam_betas[1], cfg.adam_eps
+            ),
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_learning_rate(sched),
+        )
+    else:
+        adamw = optax.adamw(
+            learning_rate=sched,
+            b1=cfg.adam_betas[0],
+            b2=cfg.adam_betas[1],
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        )
     chain = [adamw]
     if cfg.clip_norm and cfg.clip_norm > 0:
         chain.insert(0, optax.clip_by_global_norm(cfg.clip_norm))

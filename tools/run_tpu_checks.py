@@ -24,6 +24,7 @@ CHECKS = (
     "tools/tpu_kernel_check.py",
     "tools/tpu_tree_attention_check.py",
     "tools/tpu_dropout_check.py",
+    "tools/tpu_masked_attention_check.py",
 )
 
 

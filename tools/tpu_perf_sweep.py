@@ -33,6 +33,8 @@ def run_variant(
     seq: int = 100,
     min_window_sec: float = 12.0,
     update_freq: int = 1,
+    tower_pallas: bool = True,
+    bf16_adam: bool = False,
 ):
     import jax
 
@@ -69,8 +71,20 @@ def run_variant(
         dp_size=1,
         tp_size=1,
     )
+    import dataclasses as _towers_dc
+
     cfg = cfg.replace(
-        model=cfg.model.replace(remat=remat, use_pallas_attention=use_pallas)
+        model=cfg.model.replace(
+            remat=remat,
+            use_pallas_attention=use_pallas,
+            text_tower=_towers_dc.replace(
+                cfg.model.text_tower, use_pallas_attention=tower_pallas
+            ),
+            image_tower=_towers_dc.replace(
+                cfg.model.image_tower, use_pallas_attention=tower_pallas
+            ),
+        ),
+        optim=_towers_dc.replace(cfg.optim, bf16_adam_state=bf16_adam),
     )
     if name.startswith("nodropout"):
         # diagnostic: bounds the total cost of dropout (mask generation +
@@ -164,6 +178,15 @@ VARIANTS = {
     "uf3_noremat": dict(remat=False, use_pallas=True, update_freq=3),
     "pallas_remat": dict(remat=True, use_pallas=True),
     "pallas_noremat": dict(remat=False, use_pallas=True),
+    # tower (BERT/ViT) fused attention A/B (ops/masked_attention.py):
+    # towers_xla keeps the graph kernel ON and only flips the towers
+    "towers_xla_noremat": dict(remat=False, use_pallas=True,
+                               tower_pallas=False),
+    "towers_pallas_noremat": dict(remat=False, use_pallas=True,
+                                  tower_pallas=True),
+    # bf16-stored adam m/v (train/optimizer.py::scale_by_adam_bf16_state)
+    "bf16adam_noremat": dict(remat=False, use_pallas=True,
+                             tower_pallas=True, bf16_adam=True),
     "big_nodes128": dict(remat=True, use_pallas=False, max_nodes=128,
                          node_cap=512, label_cap=256),
     "big_nodes128_pallas": dict(remat=True, use_pallas=True, max_nodes=128,

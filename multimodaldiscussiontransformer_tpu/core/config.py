@@ -44,8 +44,13 @@ class BertTowerConfig:
     # back to XLA transparently). The (B, H, S, S) probs tensor never
     # materializes in HBM in forward OR backward, and attention-prob
     # dropout masks are regenerated in-kernel — the tower analogue of the
-    # graph path's ModelConfig.use_pallas_attention.
-    use_pallas_attention: bool = True
+    # graph path's ModelConfig.use_pallas_attention. Default OFF: measured
+    # 5.6% SLOWER full-step at canonical shapes (S=100, B~256; v5e sweep
+    # towers_pallas_noremat 46.8 vs towers_xla 49.5 disc/s) — XLA's big
+    # batched matmuls beat the kernel's per-graph grid there; the kernel
+    # stays available for memory-bound regimes (huge node capacities where
+    # the probs tensor would blow HBM).
+    use_pallas_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -72,8 +77,9 @@ class ViTTowerConfig:
     hidden_act: str = "gelu"  # gelu | quick_gelu
     embeddings_layernorm: bool = False
     patch_bias: bool = True
-    # fused Pallas attention (see BertTowerConfig.use_pallas_attention)
-    use_pallas_attention: bool = True
+    # fused Pallas attention (see BertTowerConfig.use_pallas_attention —
+    # same measured default-OFF rationale)
+    use_pallas_attention: bool = False
 
     @property
     def num_patches(self) -> int:

@@ -105,7 +105,10 @@ def run(
     out: str,
     n_trees: int = 300,
     seed: int = 0,
-    updates: int = 300,
+    # ~600 updates to escape the all-positive collapse (positive_weight
+    # 1.5 + 45% base rate make it a strong early optimum), then F1 climbs
+    # steadily (measured trajectory: 0.62 flat to upd 500, 0.89 by 2500)
+    updates: int = 3000,
     max_length: int = 24,
     min_margin: Optional[float] = None,
 ) -> Dict[str, float]:
@@ -172,6 +175,16 @@ def run(
             # --freeze-initial-encoders assumes pretrained weights) starves
             # the context pathway
             freeze_initial_encoders=False,
+            # >=3 fusion layers, NOT tiny's 2: the interleave
+            # (models/mdt.py:203-226, ref 413-439) writes graph node states
+            # into bottleneck token 0 BEFORE each fusion step, and text
+            # only enters the graph tokens at the END of pair 0 — so with
+            # n_pairs = fusion_layers - 1 = 1 the per-node head reads a
+            # bottleneck that no text-bearing graph attention ever touched
+            # and parent text CANNOT reach a child's prediction. 4 layers
+            # (3 pairs) give the context pathway two text-aware graph hops
+            # (the canonical arch has 8 -> 7 pairs).
+            num_fusion_layers=4,
             text_tower=BertTowerConfig(
                 vocab_size=tokenizer.vocab_size,
                 hidden_size=64,
@@ -229,7 +242,7 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--n-trees", type=int, default=300)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--updates", type=int, default=300)
+    p.add_argument("--updates", type=int, default=3000)
     p.add_argument("--max-length", type=int, default=24)
     p.add_argument("--min-margin", type=float, default=None)
     a = p.parse_args(argv)

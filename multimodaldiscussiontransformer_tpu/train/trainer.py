@@ -89,6 +89,15 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self.contrastive = cfg.task == "contrastive_learning"
+        # host-side transfer cast for the (H2D-dominant) image buffer —
+        # numerically identical for a bf16 model (loader.
+        # cast_images_for_transfer), half the transfer bytes
+        if jnp.dtype(self.model.dtype) == jnp.bfloat16:
+            import ml_dtypes
+
+            self._image_transfer_dtype = ml_dtypes.bfloat16
+        else:
+            self._image_transfer_dtype = None
 
     # -- construction -----------------------------------------------------
 
@@ -311,7 +320,8 @@ class Trainer:
 
         with self.mesh:
             for jb in prefetch_to_device(
-                self.eval_batches(dataset, split), self.mesh
+                self.eval_batches(dataset, split), self.mesh,
+                image_dtype=self._image_transfer_dtype,
             ):
                 acc.update(self._eval_step(state.params, jb))
         return acc.reduce()
@@ -392,14 +402,24 @@ class Trainer:
             shard_stacked_batch,
         )
 
+        from multimodaldiscussiontransformer_tpu.data.loader import (
+            cast_images_for_transfer,
+        )
+
         def epoch_stream(epoch):
             if scan_mode:
                 return ThreadedPrefetcher(
                     stack_microbatches(self.train_batches(dataset, epoch), k),
-                    lambda h: shard_stacked_batch(self.mesh, h),
+                    lambda h: shard_stacked_batch(
+                        self.mesh,
+                        cast_images_for_transfer(
+                            h, self._image_transfer_dtype
+                        ),
+                    ),
                 )
             return prefetch_to_device(
-                self.train_batches(dataset, epoch), self.mesh
+                self.train_batches(dataset, epoch), self.mesh,
+                image_dtype=self._image_transfer_dtype,
             )
 
         with self.mesh:

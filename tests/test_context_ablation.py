@@ -1,0 +1,136 @@
+"""Context-label corpus + context-blind ablation plumbing
+(experiments/hateful_discussions/{two_stage,context_ablation}.py):
+
+- the "context" label mode's construction invariants: every labeled body
+  is marker- and hate-word-free, and a node is hate IFF its PARENT (or the
+  submission, for top-level comments) carries a marker — per-comment text
+  is at chance BY CONSTRUCTION, so a full-vs-blind F1 margin measures
+  graph-context learning (reference README.md:8-14 claim);
+- ``context_blind_items`` repacks every labeled node as a single-node tree
+  with identical tokens/label and no structure.
+
+The full trained margin is recorded per-round in BASELINE.md (the
+experiment's __main__ drives it); CI pins the corpus contract cheaply."""
+
+import json
+import os
+
+import numpy as np
+
+from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions import (
+    two_stage,
+)
+
+
+def _load_trees(raw_path):
+    with open(raw_path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _flatten(node, parent, acc):
+    acc.append((node, parent))
+    for ch in node.get("tree", []):
+        _flatten(ch, node, acc)
+
+
+def test_context_corpus_invariants(tmp_path):
+    paths = two_stage.generate_mini_corpus(
+        str(tmp_path), n_trees=40, seed=3, image_prob=0.0,
+        label_mode="context",
+    )
+    trees = _load_trees(paths["raw"])
+    assert len(trees) == 40
+    markers = set(two_stage.MARKER_WORDS)
+    hate = set(two_stage.HATE_WORDS)
+    n_pos = n_neg = 0
+    for sub in trees:
+        sub_body = sub["data"]["selftext"]  # submissions use selftext
+        sub_marked = any(w in markers for w in sub_body.split())
+        flat = []
+        for top in sub["tree"]:
+            _flatten(top, None, flat)
+        for node, parent in flat:
+            body_words = node["data"]["body"].split()
+            label = node["data"]["label"]
+            # labeled bodies carry NO hate words in context mode — the
+            # only signal lives in the tree
+            assert not (set(body_words) & hate), node["data"]["id"]
+            parent_body = (
+                sub_body if parent is None else parent["data"]["body"]
+            )
+            parent_marked = any(
+                w in markers for w in parent_body.split()
+            )
+            if label == "DEG":
+                n_pos += 1
+                assert parent_marked, (
+                    f"hate node {node['data']['id']} under unmarked parent"
+                )
+            elif label == "lti_normal":
+                n_neg += 1
+                assert not parent_marked, (
+                    f"normal node {node['data']['id']} under marked parent"
+                )
+        del sub_marked
+    # both classes must actually occur
+    assert n_pos > 10 and n_neg > 10, (n_pos, n_neg)
+
+
+def test_context_blind_repack(tmp_path):
+    """context_blind_items: same tokens + label, single-node tree."""
+    from multimodaldiscussiontransformer_tpu.core import registry
+    from multimodaldiscussiontransformer_tpu.data.tokenizer import (
+        BertWordPieceTokenizer,
+    )
+    from multimodaldiscussiontransformer_tpu.data_prep.splits import (
+        make_splits,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.context_ablation import (
+        context_blind_items,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+        create_hatespeech_dataset,
+    )
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.ingest import (
+        process,
+    )
+
+    registry.populate()
+    out = str(tmp_path)
+    paths = two_stage.generate_mini_corpus(
+        out, n_trees=12, seed=0, image_prob=0.0, label_mode="context",
+    )
+    prev = os.environ.get("MDT_BERT_VOCAB")
+    os.environ["MDT_BERT_VOCAB"] = paths["vocab"]
+    try:
+        BertWordPieceTokenizer(paths["vocab"])  # vocab sanity
+        split_dir = os.path.join(out, "splits")
+        make_splits(paths["raw"], split_dir, n_splits=1, seed=0)
+        data_root = os.path.join(out, "data")
+        process(
+            paths["raw"], data_root,
+            train_idx_file=os.path.join(split_dir, "train-idx.txt"),
+            test_idx_file=os.path.join(split_dir, "test-idx.txt"),
+            tokenizer_name="bert-base-uncased",
+            image_root=out, max_length=24, image_size=32, log_every=0,
+        )
+        ds = create_hatespeech_dataset(root=data_root, seed=0)
+        blind = context_blind_items(ds, (3, 32, 32))
+        assert len(blind) == len(ds)
+        for i in range(min(8, len(ds))):
+            orig, single = ds.get(i), blind[i]
+            node = int(np.flatnonzero(orig.y_mask)[0])
+            assert single.input_ids.shape[0] == 1  # one node, no context
+            np.testing.assert_array_equal(
+                single.input_ids[0], orig.input_ids[node]
+            )
+            assert single.y_mask.all() and single.y_mask.shape == (1,)
+            np.testing.assert_array_equal(
+                np.asarray(single.y).reshape(-1),
+                np.asarray(orig.y).reshape(-1),
+            )
+    finally:
+        if prev is None:
+            os.environ.pop("MDT_BERT_VOCAB", None)
+        else:
+            os.environ["MDT_BERT_VOCAB"] = prev

@@ -33,7 +33,7 @@ def run_variant(
     seq: int = 100,
     min_window_sec: float = 12.0,
     update_freq: int = 1,
-    tower_pallas: bool = True,
+    tower_pallas: bool = False,  # matches the measured product default
     bf16_adam: bool = False,
 ):
     import jax

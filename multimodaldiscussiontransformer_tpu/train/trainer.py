@@ -40,7 +40,10 @@ from multimodaldiscussiontransformer_tpu.train.metrics import (
     MetricAccumulator,
     MetricsWriter,
 )
-from multimodaldiscussiontransformer_tpu.train.optimizer import make_optimizer
+from multimodaldiscussiontransformer_tpu.train.optimizer import (
+    make_optimizer,
+    trainable_mask,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -159,9 +162,11 @@ class Trainer:
         model, criterion, tx = self.model, self.criterion, self.tx
 
         fast_rng = self.cfg.fast_dropout_rng
+        freeze = self.cfg.model.freeze_initial_encoders
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            labels = trainable_mask(state.params, freeze)
             rng, step_rng = jax.random.split(state.rng)
             if fast_rng:
                 # hardware-RNG dropout bits (see TrainConfig.fast_dropout_rng)
@@ -170,6 +175,17 @@ class Trainer:
                 )
 
             def loss_fn(params):
+                # frozen bottom towers (--freeze-initial-encoders,
+                # run_train.sh:53) carry NO gradient: stop_gradient at the
+                # leaves makes autodiff treat the whole bottom-tower
+                # compute as constant at trace time — no weight grads, no
+                # cotangent flow below the lowest trainable layer, exactly
+                # like the reference's requires_grad=False modules
+                params = jax.tree.map(
+                    lambda p, l: jax.lax.stop_gradient(p)
+                    if l == "freeze" else p,
+                    params, labels,
+                )
                 out = model.apply(
                     params, batch, deterministic=False,
                     rngs={"dropout": step_rng},
@@ -181,14 +197,23 @@ class Trainer:
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = jax.tree.map(
-                lambda p, u: p + u.astype(p.dtype), state.params, updates
+                lambda p, u, l: p if l == "freeze" else p + u.astype(p.dtype),
+                state.params, updates, labels,
             )
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state, rng=rng
             )
+            # FairSeq reports gnorm over grad-carrying params only (frozen
+            # modules have requires_grad=False and contribute nothing)
             logs["gnorm"] = jax.lax.stop_gradient(
                 jnp.sqrt(
-                    sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(grads))
+                    sum(
+                        jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g, l in zip(
+                            jax.tree.leaves(grads), jax.tree.leaves(labels)
+                        )
+                        if l == "train"
+                    )
                 )
             )
             return new_state, logs
@@ -215,9 +240,11 @@ class Trainer:
         tools/tpu_perf_sweep.py)."""
         model, criterion, tx = self.model, self.criterion, self.tx
         fast_rng = self.cfg.fast_dropout_rng
+        freeze = self.cfg.model.freeze_initial_encoders
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, stacked) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            labels = trainable_mask(state.params, freeze)
             # static per compiled program; epoch-tail groups may be shorter
             # than update_freq (one extra cached program)
             k = jax.tree.leaves(stacked)[0].shape[0]
@@ -232,6 +259,14 @@ class Trainer:
                     )
 
                 def loss_fn(params):
+                    # see _make_train_step: frozen towers are constants to
+                    # autodiff (no weight grads, no cotangents below the
+                    # lowest trainable layer)
+                    params = jax.tree.map(
+                        lambda p, l: jax.lax.stop_gradient(p)
+                        if l == "freeze" else p,
+                        params, labels,
+                    )
                     out = model.apply(
                         params, batch_i, deterministic=False,
                         rngs={"dropout": use},
@@ -242,7 +277,11 @@ class Trainer:
                 (_, (ssz, logs)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(state.params)
-                gacc = jax.tree.map(jnp.add, gacc, grads)
+                # frozen leaves pass through untouched (no zero-add traffic)
+                gacc = jax.tree.map(
+                    lambda a, g, l: a if l == "freeze" else a + g,
+                    gacc, grads, labels,
+                )
                 return (gacc, ssz_acc + ssz.astype(jnp.float32), sub), logs
 
             gacc0 = jax.tree.map(jnp.zeros_like, state.params)
@@ -251,10 +290,14 @@ class Trainer:
                 stacked,
             )
             denom = jnp.maximum(total_ssz, 1.0)
-            grads = jax.tree.map(lambda g: g / denom.astype(g.dtype), gacc)
+            grads = jax.tree.map(
+                lambda g, l: g if l == "freeze" else g / denom.astype(g.dtype),
+                gacc, labels,
+            )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = jax.tree.map(
-                lambda p, u: p + u.astype(p.dtype), state.params, updates
+                lambda p, u, l: p if l == "freeze" else p + u.astype(p.dtype),
+                state.params, updates, labels,
             )
             new_state = state.replace(
                 step=state.step + k, params=params, opt_state=opt_state,
@@ -267,7 +310,10 @@ class Trainer:
                 jnp.sqrt(
                     sum(
                         jnp.sum(jnp.square(g.astype(jnp.float32)))
-                        for g in jax.tree.leaves(grads)
+                        for g, l in zip(
+                            jax.tree.leaves(grads), jax.tree.leaves(labels)
+                        )
+                        if l == "train"
                     )
                 )
             )

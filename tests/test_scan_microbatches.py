@@ -21,11 +21,23 @@ from multimodaldiscussiontransformer_tpu.parallel.mesh import (
 )
 from multimodaldiscussiontransformer_tpu.train.optimizer import (
     polynomial_decay_schedule,
+    trainable_mask,
 )
 from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
 
 IMG = (3, 32, 32)
 SYN = dict(seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8)
+
+
+def _apply_freeze(params, freeze):
+    """FairSeq freeze semantics for the manual references: frozen modules
+    have requires_grad=False, i.e. NO gradient exists for them (the train
+    step mirrors this with per-leaf stop_gradient)."""
+    labels = trainable_mask(params, freeze)
+    return jax.tree.map(
+        lambda p, l: jax.lax.stop_gradient(p) if l == "freeze" else p,
+        params, labels,
+    )
 
 
 def make_cfg(**kw):
@@ -84,6 +96,7 @@ def test_scan_step_matches_manual_fairseq_math():
     model, criterion = trainer.model, trainer.criterion
 
     def loss_fn(params, b):
+        params = _apply_freeze(params, cfg.model.freeze_initial_encoders)
         out = model.apply(params, b, deterministic=False,
                           rngs={"dropout": jax.random.PRNGKey(0)})
         loss, ssz, _ = criterion(out, b)
@@ -232,6 +245,7 @@ def test_stack_microbatches_pads_mixed_shapes_inertly():
     model, criterion = trainer.model, trainer.criterion
 
     def loss_fn(params, b):
+        params = _apply_freeze(params, cfg.model.freeze_initial_encoders)
         out = model.apply(params, b, deterministic=False,
                           rngs={"dropout": jax.random.PRNGKey(0)})
         loss, ssz, _ = criterion(out, b)

@@ -129,6 +129,55 @@ def test_freeze_initial_encoders():
     assert trained_moved and any(trained_moved)
 
 
+def test_freeze_skips_frozen_backward_compute():
+    """--freeze-initial-encoders must actually ELIDE the bottom-tower
+    backward, not just zero its updates: the reference's frozen modules
+    have requires_grad=False so torch never computes their grads
+    (multigraphormer_graph_encoder.py:223-228); the train step mirrors
+    that with per-leaf stop_gradient, which removes the frozen weight
+    grads and all cotangent flow below the lowest trainable layer at
+    trace time. Pinned via XLA compiled-FLOPs cost analysis: the frozen
+    step must cost measurably less than the unfrozen one."""
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+    from multimodaldiscussiontransformer_tpu.data.synthetic import (
+        synthetic_batch_items,
+    )
+    from multimodaldiscussiontransformer_tpu.parallel.mesh import shard_batch
+
+    buckets = dict(
+        node_buckets=(8,), node_capacity_buckets=(16,),
+        image_capacity_buckets=(4,), label_capacity_buckets=(8,),
+    )
+    items = synthetic_batch_items(
+        2, seed=0, min_nodes=4, max_nodes=8, seq_len=16,
+        vocab_size=128, image_prob=0.5, image_shape=IMG,
+    )
+    b = collate(items, spatial_pos_max=5, image_shape=IMG, **buckets).asdict()
+
+    def compiled_flops(freeze):
+        cfg = tiny_train_cfg(
+            model=tiny_model_config().replace(
+                freeze_initial_encoders=freeze
+            ),
+            data=DataConfig(batch_size=2, max_text_len=16, **buckets),
+        )
+        trainer = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+        state = trainer.init_state(b)
+        step = trainer._make_train_step()
+        with trainer.mesh:
+            comp = step.lower(state, shard_batch(trainer.mesh, b)).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+
+    f_frozen = compiled_flops(True)
+    f_unfrozen = compiled_flops(False)
+    # bottom towers are 2 of 4 layers per tower in the tiny config; their
+    # weight grads + cotangents are a double-digit share of the backward
+    assert f_frozen < 0.95 * f_unfrozen, (f_frozen, f_unfrozen)
+
+
 def test_tp_sharding_matches_dp_only():
     """2-way tensor parallel must match the dp-only result (same params,
     same batch -> same loss) within float tolerance."""

@@ -100,8 +100,18 @@ def main() -> None:
         )
         del jh
 
-        # full loss fwd+bwd (no optimizer)
+        # full loss fwd+bwd (no optimizer) — same freeze semantics as the
+        # product train step (frozen bottom towers carry no gradient)
+        from multimodaldiscussiontransformer_tpu.train.optimizer import (
+            trainable_mask,
+        )
+
         def loss_fn(p):
+            labels = trainable_mask(p, cfg.model.freeze_initial_encoders)
+            p = jax.tree.map(
+                lambda x, l: jax.lax.stop_gradient(x) if l == "freeze" else x,
+                p, labels,
+            )
             out = model.apply(p, jb, deterministic=False, rngs={"dropout": rng})
             loss, ssz, _ = criterion(out, jb)
             return loss / jnp.maximum(ssz.astype(jnp.float32), 1.0)

@@ -194,6 +194,13 @@ class ModelConfig:
     # (tools/tpu_perf_sweep.py r2: 42.3 vs 35.1 disc/s). Enable for
     # bigger-than-HBM configs (large node buckets, big per-chip batches).
     remat: bool = False
+    # what remat saves: "full" = jax.checkpoint default (save only block
+    # inputs, recompute everything); "dots" = save matmul outputs with no
+    # batch dims; "dots_saveable" = save ALL matmul outputs and recompute
+    # only the cheap elementwise ops (LN/gelu/bias/dropout-mask math) —
+    # a middle ground between remat off (all activations resident) and
+    # full remat (whole-block recompute) for the big-tree regime.
+    remat_policy: str = "full"
 
     @property
     def num_fusion_stacks(self) -> int:

@@ -122,9 +122,17 @@ class MultiGraphormerGraphEncoder(nn.Module):
         cap, seq = input_ids.shape
         bsz, nmax = batch["in_degree"].shape
 
-        maybe_remat = (
-            (lambda f: jax.checkpoint(f)) if (c.remat and not deterministic) else (lambda f: f)
-        )
+        if c.remat and not deterministic:
+            # remat_policy "dots"/"dots_saveable" keeps matmul outputs
+            # resident and recomputes only elementwise ops in the backward
+            # (see core/config.py); "full" recomputes the whole block
+            policy = {
+                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots_saveable": jax.checkpoint_policies.dots_saveable,
+            }.get(c.remat_policy)
+            maybe_remat = lambda f: jax.checkpoint(f, policy=policy)  # noqa: E731
+        else:
+            maybe_remat = lambda f: f  # noqa: E731
 
         # ---- bottom towers (ref forward lines 321-337) ----
         bert_out = self.text_model(

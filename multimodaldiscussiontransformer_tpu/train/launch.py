@@ -131,6 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize fusion+graph blocks (enable for "
                         "bigger-than-HBM configs; costs ~21%% throughput)")
+    p.add_argument("--remat-policy", default="full",
+                   choices=("full", "dots", "dots_saveable"),
+                   help="what remat saves: full=recompute whole blocks; "
+                        "dots/dots_saveable=keep matmul outputs, recompute "
+                        "only elementwise ops (cheaper backward, more HBM)")
     p.add_argument("--use-pallas-attention", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fused Pallas tree-attention kernel (default on; "
@@ -196,6 +201,7 @@ def config_from_args(args) -> "TrainConfig":
             num_classes=args.num_classes if args.num_classes > 1 else 2,
             dtype=args.dtype,
             remat=args.remat,
+            remat_policy=args.remat_policy,
             use_pallas_attention=args.use_pallas_attention,
             text_encoder_name=args.text_encoder,
             image_encoder_name=args.image_encoder,

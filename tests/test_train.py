@@ -178,6 +178,73 @@ def test_freeze_skips_frozen_backward_compute():
     assert f_frozen < 0.95 * f_unfrozen, (f_frozen, f_unfrozen)
 
 
+def test_remat_policies_match_no_remat():
+    """remat (any policy) is a pure memory/recompute trade: loss and grads
+    must equal the no-remat values exactly (jax.checkpoint recomputes the
+    same program; this pins the remat_policy plumbing in models/mdt.py)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        tiny_model_config,
+    )
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+    from multimodaldiscussiontransformer_tpu.data.synthetic import (
+        synthetic_batch_items,
+    )
+    from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
+
+    base = tiny_model_config()
+    base = base.replace(
+        text_tower=dc.replace(
+            base.text_tower,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+        image_tower=dc.replace(
+            base.image_tower,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        ),
+    )
+    items = synthetic_batch_items(
+        2, seed=0, min_nodes=4, max_nodes=8, seq_len=16,
+        vocab_size=128, image_prob=0.5, image_shape=IMG,
+    )
+    b = collate(
+        items, spatial_pos_max=5, node_buckets=(8,),
+        node_capacity_buckets=(16,), image_capacity_buckets=(4,),
+        label_capacity_buckets=(8,), image_shape=IMG,
+    ).asdict()
+    jb = {k: jnp.asarray(v) for k, v in b.items()}
+
+    def loss_and_grads(cfg):
+        model = MDTModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), jb, deterministic=True)
+
+        def loss_fn(p):
+            out = model.apply(
+                p, jb, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+            return jnp.sum(out.logits.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    ref_loss, ref_grads = loss_and_grads(base.replace(remat=False))
+    for policy in ("full", "dots", "dots_saveable"):
+        loss, grads = loss_and_grads(
+            base.replace(remat=True, remat_policy=policy)
+        )
+        np.testing.assert_allclose(
+            float(loss), float(ref_loss), rtol=1e-6, err_msg=policy
+        )
+        for a, r in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-6,
+                err_msg=policy,
+            )
+
+
 def test_tp_sharding_matches_dp_only():
     """2-way tensor parallel must match the dp-only result (same params,
     same batch -> same loss) within float tolerance."""

@@ -35,6 +35,7 @@ def run_variant(
     update_freq: int = 1,
     tower_pallas: bool = False,  # matches the measured product default
     bf16_adam: bool = False,
+    remat_policy: str = "full",
 ):
     import jax
 
@@ -76,6 +77,7 @@ def run_variant(
     cfg = cfg.replace(
         model=cfg.model.replace(
             remat=remat,
+            remat_policy=remat_policy,
             use_pallas_attention=use_pallas,
             text_tower=_towers_dc.replace(
                 cfg.model.text_tower, use_pallas_attention=tower_pallas
@@ -135,9 +137,29 @@ def run_variant(
     )
 
     state = trainer.init_state(host)
-    step = trainer._make_train_step()
+    # update_freq>1 with the (default) scan_microbatches accumulation runs
+    # ONE jitted step per optimizer update consuming k stacked microbatches
+    # — the real product path (trainer.fit routes the same way)
+    scan_mode = cfg.optim.scan_microbatches and update_freq > 1
+    if scan_mode:
+        import numpy as _np
+
+        from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+            shard_stacked_batch,
+        )
+
+        step = trainer._make_train_step_scan()
+        stacked = {
+            k: _np.stack([v] * update_freq) for k, v in host.items()
+        }
+    else:
+        step = trainer._make_train_step()
+    discussions_per_step = batch * (update_freq if scan_mode else 1)
     with mesh:
-        jb = shard_batch(mesh, host)
+        jb = (
+            shard_stacked_batch(mesh, stacked)
+            if scan_mode else shard_batch(mesh, host)
+        )
         for _ in range(3):
             state, logs = step(state, jb)
         loss0 = float(jax.device_get(logs["loss"]))
@@ -158,8 +180,14 @@ def run_variant(
     out = {
         "variant": name,
         "steps_per_sec": round(rate, 4),
-        "disc_per_sec": round(rate * batch, 2),
-        "mfu": round(flops["train_total"] * rate / peak, 4),
+        "disc_per_sec": round(rate * discussions_per_step, 2),
+        "mfu": round(
+            flops["train_total"]
+            * (update_freq if scan_mode else 1)
+            * rate
+            / peak,
+            4,
+        ),
         "flops_per_step": round(flops["train_total"]),
         "max_nodes": max_nodes,
     }
@@ -189,6 +217,20 @@ VARIANTS = {
                              tower_pallas=True, bf16_adam=True),
     "big_nodes128": dict(remat=True, use_pallas=False, max_nodes=128,
                          node_cap=512, label_cap=256),
+    # does Nmax=128 fit without remat now that the frozen towers' backward
+    # (and the XLA liveness it implied) is elided? (OOM is caught+reported)
+    "big_nodes128_noremat": dict(remat=False, use_pallas=True, max_nodes=128,
+                                 node_cap=512, label_cap=256),
+    # selective remat: keep matmul outputs, recompute only elementwise ops
+    "big_nodes128_dots": dict(remat=True, use_pallas=True, max_nodes=128,
+                              node_cap=512, label_cap=256,
+                              remat_policy="dots_saveable"),
+    "big_nodes128_dotsnb": dict(remat=True, use_pallas=True, max_nodes=128,
+                                node_cap=512, label_cap=256,
+                                remat_policy="dots"),
+    # the real-recipe accumulation path: scan over 3 stacked microbatches
+    # per optimizer update (run_train.sh:65)
+    "uf3_scan_noremat": dict(remat=False, use_pallas=True, update_freq=3),
     "big_nodes128_pallas": dict(remat=True, use_pallas=True, max_nodes=128,
                                 node_cap=512, label_cap=256),
     "big_nodes256": dict(remat=True, use_pallas=False, max_nodes=256,

@@ -71,7 +71,13 @@ def context_blind_items(ds, image_shape=(3, 32, 32)) -> List[GraphItem]:
     return items
 
 
-def _train_eval(ds, model_cfg, data_cfg, updates, seed, img_shape) -> Dict[str, float]:
+def _train_eval(
+    ds, model_cfg, data_cfg, updates, seed, img_shape,
+    lr: float = 1e-3,
+    positive_weight: float = 1.0,
+    constant_lr: bool = True,
+    warm_params=None,
+) -> Dict[str, float]:
     from multimodaldiscussiontransformer_tpu.core.config import (
         OptimConfig,
         TaskConfig,
@@ -83,13 +89,22 @@ def _train_eval(ds, model_cfg, data_cfg, updates, seed, img_shape) -> Dict[str, 
         model=model_cfg,
         data=data_cfg,
         optim=OptimConfig(
-            lr=1e-3, warmup_updates=10,
+            lr=lr, warmup_updates=10,
+            # constant_lr: hold lr at peak (end == peak) — escaping the
+            # all-positive collapse needs full-size steps late in training;
+            # the canonical poly-decay is a fine-tuning recipe for
+            # PRETRAINED towers, not for learning an embedding from scratch
+            end_learning_rate=lr if constant_lr else 3e-7,
             total_num_update=max(updates, 1), update_freq=1,
         ),
         task_cfg=TaskConfig(dataset_name="hateful_discussions", seed=seed),
         task="node_prediction",
         criterion="node_cross_entropy",
-        positive_weight=1.5,  # run_train.sh:41
+        # positive_weight 1.0 (not the recipe's 1.5): this is a capability
+        # probe, and up-weighting positives deepens the all-positive basin
+        # on a ~45%-positive corpus (measured: pw=1.5 pinned recall at 1.0
+        # for 3000 updates)
+        positive_weight=positive_weight,
         log_interval=50,
         validate_interval_updates=0,
         dp_size=1,
@@ -97,7 +112,15 @@ def _train_eval(ds, model_cfg, data_cfg, updates, seed, img_shape) -> Dict[str, 
         fast_dropout_rng=False,
     )
     trainer = Trainer(cfg, image_shape=img_shape)
-    state = trainer.fit(ds, max_epoch=100000, max_updates=updates)
+    state = None
+    if warm_params is not None:
+        # reference transfer semantics (run_train.sh:57-63): restore the
+        # contrastively pre-trained params with head + optimizer reset;
+        # BOTH ablation arms start from the same checkpoint
+        first = next(iter(trainer.train_batches(ds, epoch=1)))
+        state = trainer.init_state(first.asdict())
+        state = trainer.load_params(state, warm_params)
+    state = trainer.fit(ds, state=state, max_epoch=100000, max_updates=updates)
     return trainer.evaluate(state, ds, "test")
 
 
@@ -105,12 +128,20 @@ def run(
     out: str,
     n_trees: int = 300,
     seed: int = 0,
-    # ~600 updates to escape the all-positive collapse (positive_weight
-    # 1.5 + 45% base rate make it a strong early optimum), then F1 climbs
-    # steadily (measured trajectory: 0.62 flat to upd 500, 0.89 by 2500)
     updates: int = 3000,
     max_length: int = 24,
     min_margin: Optional[float] = None,
+    lr: float = 1e-3,
+    positive_weight: float = 1.0,
+    constant_lr: bool = True,
+    marker_repeats: int = 3,
+    # contrastive pre-train before BOTH arms' fine-tune (the reference's
+    # own two-stage recipe, run_train.sh:57-63 restore-from-contrastive):
+    # from RANDOM init the cross-node pathway is too weak for the context
+    # rule to beat the all-one-class basin (measured: chance through 4000
+    # updates); the contrastive stage teaches text->bottleneck->graph
+    # encoding first, exactly like the reference's pretrained towers do
+    contrastive_updates: int = 300,
 ) -> Dict[str, float]:
     from multimodaldiscussiontransformer_tpu.core import registry
     from multimodaldiscussiontransformer_tpu.core.config import (
@@ -142,6 +173,7 @@ def run(
     paths = generate_mini_corpus(
         out, n_trees=n_trees, seed=seed, image_px=image_px,
         image_prob=0.0, label_mode="context",
+        marker_repeats=marker_repeats,
     )
     prev_vocab = os.environ.get("MDT_BERT_VOCAB")
     os.environ["MDT_BERT_VOCAB"] = paths["vocab"]
@@ -185,6 +217,13 @@ def run(
             # (3 pairs) give the context pathway two text-aware graph hops
             # (the canonical arch has 8 -> 7 pairs).
             num_fusion_layers=4,
+            # canonical bottleneck/graph-stack capacity: at random init the
+            # cross-node pathway is ~6x weaker than the own-text pathway
+            # (measured logit sensitivity), so give the graph transport its
+            # full width — the probe measures whether the ARCHITECTURE can
+            # learn context, not whether a starved variant can
+            num_bottleneck_tokens=4,
+            num_graph_stack=2,
             text_tower=BertTowerConfig(
                 vocab_size=tokenizer.vocab_size,
                 hidden_size=64,
@@ -192,6 +231,12 @@ def run(
                 num_attention_heads=4,
                 intermediate_size=128,
                 max_position_embeddings=max(64, max_length),
+                # dropout off for the capability probe: the context signal
+                # rides ONE bottleneck token through the graph hop; 10%
+                # tower dropout noise buries it at random init (measured:
+                # chance-level through 3000 updates with dropout on)
+                hidden_dropout_prob=0.0,
+                attention_probs_dropout_prob=0.0,
             ),
         )
         data_cfg = DataConfig(
@@ -204,10 +249,74 @@ def run(
             label_capacity_buckets=(64,),
         )
 
-        full = _train_eval(ds, model_cfg, data_cfg, updates, seed, img_shape)
+        warm = None
+        if contrastive_updates > 0:
+            import jax
+
+            from multimodaldiscussiontransformer_tpu.core.config import (
+                OptimConfig,
+                TaskConfig,
+                TrainConfig,
+            )
+            from multimodaldiscussiontransformer_tpu.core.registry import (
+                TASKS,
+            )
+            from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.two_stage import (
+                build_contrastive_items,
+            )
+            from multimodaldiscussiontransformer_tpu.utils.checkpoints import (
+                reset_classifier_head,
+            )
+
+            communities = json.load(open(paths["communities"]))
+            contr_items = build_contrastive_items(
+                paths["raw"], communities, tokenizer, max_length, out,
+                image_px,
+            )
+            contr_ds = DiscussionDataset.from_splits(contr_items, seed=seed)
+            cfg1 = TrainConfig(
+                model=model_cfg,
+                data=data_cfg,
+                optim=OptimConfig(
+                    lr=1e-3, warmup_updates=5,
+                    total_num_update=max(contrastive_updates, 1),
+                    update_freq=1,
+                ),
+                task_cfg=TaskConfig(
+                    dataset_name="hateful_discussions", seed=seed
+                ),
+                task="contrastive_learning",
+                criterion="contrastive_loss",
+                log_interval=100,
+                validate_interval_updates=0,
+                dp_size=1,
+                tp_size=1,
+                fast_dropout_rng=False,
+            )
+            trainer1 = TASKS.get("contrastive_learning")(cfg1).build_trainer(
+                image_shape=img_shape
+            )
+            state1 = trainer1.fit(
+                contr_ds, max_epoch=100000, max_updates=contrastive_updates
+            )
+            warm = reset_classifier_head(
+                jax.device_get(state1.params), jax.random.PRNGKey(seed + 17)
+            )
+            print(
+                f"[context_ablation] contrastive warm-start done "
+                f"({contrastive_updates} updates)"
+            )
+
+        tv = dict(
+            lr=lr, positive_weight=positive_weight, constant_lr=constant_lr,
+            warm_params=warm,
+        )
+        full = _train_eval(
+            ds, model_cfg, data_cfg, updates, seed, img_shape, **tv
+        )
         print(f"[context_ablation] FULL  {json.dumps({k: round(float(v), 4) for k, v in full.items()})}")
         blind_m = _train_eval(
-            blind, model_cfg, data_cfg, updates, seed, img_shape
+            blind, model_cfg, data_cfg, updates, seed, img_shape, **tv
         )
         print(f"[context_ablation] BLIND {json.dumps({k: round(float(v), 4) for k, v in blind_m.items()})}")
     finally:
@@ -245,10 +354,18 @@ def main(argv=None) -> int:
     p.add_argument("--updates", type=int, default=3000)
     p.add_argument("--max-length", type=int, default=24)
     p.add_argument("--min-margin", type=float, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--positive-weight", type=float, default=1.0)
+    p.add_argument("--decay-lr", action="store_true", default=False)
+    p.add_argument("--marker-repeats", type=int, default=3)
+    p.add_argument("--contrastive-updates", type=int, default=300)
     a = p.parse_args(argv)
     run(
         a.out, n_trees=a.n_trees, seed=a.seed, updates=a.updates,
-        max_length=a.max_length, min_margin=a.min_margin,
+        max_length=a.max_length, min_margin=a.min_margin, lr=a.lr,
+        positive_weight=a.positive_weight, constant_lr=not a.decay_lr,
+        marker_repeats=a.marker_repeats,
+        contrastive_updates=a.contrastive_updates,
     )
     return 0
 

@@ -77,7 +77,8 @@ def _train_eval(
     positive_weight: float = 1.0,
     constant_lr: bool = True,
     warm_params=None,
-) -> Dict[str, float]:
+    return_state: bool = False,
+):
     from multimodaldiscussiontransformer_tpu.core.config import (
         OptimConfig,
         TaskConfig,
@@ -115,13 +116,21 @@ def _train_eval(
     state = None
     if warm_params is not None:
         # reference transfer semantics (run_train.sh:57-63): restore the
-        # contrastively pre-trained params with head + optimizer reset;
-        # BOTH ablation arms start from the same checkpoint
+        # pre-trained params with optimizer reset; BOTH ablation arms
+        # start from the same checkpoint. Host-copy every leaf first:
+        # the jitted train step donates its params buffers, so a shared
+        # on-device leaf from a previous arm would be a deleted array.
+        import jax
+
+        warm_params = jax.tree_util.tree_map(np.asarray, warm_params)
         first = next(iter(trainer.train_batches(ds, epoch=1)))
         state = trainer.init_state(first.asdict())
         state = trainer.load_params(state, warm_params)
     state = trainer.fit(ds, state=state, max_epoch=100000, max_updates=updates)
-    return trainer.evaluate(state, ds, "test")
+    metrics = trainer.evaluate(state, ds, "test")
+    if return_state:
+        return metrics, state
+    return metrics
 
 
 def run(
@@ -141,7 +150,32 @@ def run(
     # rule to beat the all-one-class basin (measured: chance through 4000
     # updates); the contrastive stage teaches text->bottleneck->graph
     # encoding first, exactly like the reference's pretrained towers do
-    contrastive_updates: int = 300,
+    contrastive_updates: int = 0,
+    # supervised stage-A warm-start on a MARKER corpus (labels = a node's
+    # OWN marker, two_stage.generate_mini_corpus(label_mode="marker")):
+    # the in-repo stand-in for the reference's pretrained towers. The
+    # reference never trains from scratch — its BERT arrives already
+    # knowing what hate words look like, and the recipe's job is only to
+    # learn the discussion-context ROUTING on top (run_train.sh:57-63).
+    # Stage-A labels carry zero information about the context corpus's
+    # test labels through a node's own text (markers are independent
+    # coins there), so the full-vs-blind margin after transfer isolates
+    # exactly the learned tree routing. Measured: from random init OR
+    # contrastive-only warm-start the fine-tune stays at chance for
+    # thousands of updates; with the marker detector in place the
+    # context pathway is the only descent direction left.
+    pretrain_updates: int = 2000,
+    # which ablation arms to run ("both" | "full") — "full" is the fast
+    # iteration path when tuning the recipe
+    arms: str = "both",
+    # star corpus (labels = the SUBMISSION's marker, 1-3 comments/tree):
+    # the default capability probe. The deep variant (labels = a random
+    # ancestor's marker inside 4-8-comment trees) additionally requires
+    # pick-the-right-ancestor attention, which a 64-dim from-scratch model
+    # does not reach in CPU-feasible budgets (measured: chance through 15k
+    # updates incl. contrastive warm-start) — it remains available
+    # (star=False) for pretrained-tower runs.
+    star: bool = True,
 ) -> Dict[str, float]:
     from multimodaldiscussiontransformer_tpu.core import registry
     from multimodaldiscussiontransformer_tpu.core.config import (
@@ -173,7 +207,7 @@ def run(
     paths = generate_mini_corpus(
         out, n_trees=n_trees, seed=seed, image_px=image_px,
         image_prob=0.0, label_mode="context",
-        marker_repeats=marker_repeats,
+        marker_repeats=marker_repeats, context_star=star,
     )
     prev_vocab = os.environ.get("MDT_BERT_VOCAB")
     os.environ["MDT_BERT_VOCAB"] = paths["vocab"]
@@ -302,9 +336,54 @@ def run(
             warm = reset_classifier_head(
                 jax.device_get(state1.params), jax.random.PRNGKey(seed + 17)
             )
+            warm = jax.tree_util.tree_map(np.asarray, warm)
             print(
                 f"[context_ablation] contrastive warm-start done "
                 f"({contrastive_updates} updates)"
+            )
+
+        pre = {}
+        if pretrain_updates > 0:
+            import jax
+
+            # stage A: supervised marker detection (label = OWN marker) on
+            # a disjoint corpus with the same tree/marker distribution and
+            # the SAME deterministic vocab. Head is KEPT through the
+            # transfer (both arms get it): it maps "marker present" ->
+            # positive, which is exactly at chance on the context corpus
+            # until tree routing is learned.
+            pre_dir = os.path.join(out, "pretrain")
+            pre_paths = generate_mini_corpus(
+                pre_dir, n_trees=n_trees, seed=seed + 1, image_px=image_px,
+                image_prob=0.0, label_mode="marker",
+                marker_repeats=marker_repeats, context_star=star,
+            )
+            pre_split = os.path.join(pre_dir, "splits")
+            make_splits(pre_paths["raw"], pre_split, n_splits=1, seed=seed)
+            pre_root = os.path.join(pre_dir, "data")
+            process(
+                pre_paths["raw"], pre_root,
+                train_idx_file=os.path.join(pre_split, "train-idx.txt"),
+                test_idx_file=os.path.join(pre_split, "test-idx.txt"),
+                tokenizer_name="bert-base-uncased",
+                image_root=pre_dir, max_length=max_length,
+                image_size=image_px, log_every=0,
+            )
+            pre_ds = create_hatespeech_dataset(root=pre_root, seed=seed)
+            pre, pre_state = _train_eval(
+                pre_ds, model_cfg, data_cfg, pretrain_updates, seed,
+                img_shape, lr=lr, positive_weight=positive_weight,
+                constant_lr=constant_lr, warm_params=warm,
+                return_state=True,
+            )
+            warm = jax.tree_util.tree_map(
+                np.asarray, jax.device_get(pre_state.params)
+            )
+            del pre_state
+            print(
+                f"[context_ablation] STAGE-A marker pretrain "
+                f"({pretrain_updates} updates) test "
+                + json.dumps({k: round(float(v), 4) for k, v in pre.items()})
             )
 
         tv = dict(
@@ -315,10 +394,13 @@ def run(
             ds, model_cfg, data_cfg, updates, seed, img_shape, **tv
         )
         print(f"[context_ablation] FULL  {json.dumps({k: round(float(v), 4) for k, v in full.items()})}")
-        blind_m = _train_eval(
-            blind, model_cfg, data_cfg, updates, seed, img_shape, **tv
-        )
-        print(f"[context_ablation] BLIND {json.dumps({k: round(float(v), 4) for k, v in blind_m.items()})}")
+        if arms == "full":
+            blind_m = {}
+        else:
+            blind_m = _train_eval(
+                blind, model_cfg, data_cfg, updates, seed, img_shape, **tv
+            )
+            print(f"[context_ablation] BLIND {json.dumps({k: round(float(v), 4) for k, v in blind_m.items()})}")
     finally:
         if prev_vocab is None:
             os.environ.pop("MDT_BERT_VOCAB", None)
@@ -328,6 +410,7 @@ def run(
     result = {
         "n_trees": n_trees,
         "updates": updates,
+        "f1_pretrain": round(float(pre.get("f1", 0.0)), 4),
         "f1_full": round(float(full.get("f1", 0.0)), 4),
         "f1_context_blind": round(float(blind_m.get("f1", 0.0)), 4),
         "accuracy_full": round(float(full.get("accuracy", 0.0)), 4),
@@ -358,7 +441,12 @@ def main(argv=None) -> int:
     p.add_argument("--positive-weight", type=float, default=1.0)
     p.add_argument("--decay-lr", action="store_true", default=False)
     p.add_argument("--marker-repeats", type=int, default=3)
-    p.add_argument("--contrastive-updates", type=int, default=300)
+    p.add_argument("--contrastive-updates", type=int, default=0)
+    p.add_argument("--pretrain-updates", type=int, default=2000)
+    p.add_argument("--arms", choices=("both", "full"), default="both")
+    p.add_argument("--deep", action="store_true", default=False,
+                   help="deep corpus (ancestor rule in 4-8-comment trees) "
+                        "instead of the default star corpus")
     a = p.parse_args(argv)
     run(
         a.out, n_trees=a.n_trees, seed=a.seed, updates=a.updates,
@@ -366,6 +454,9 @@ def main(argv=None) -> int:
         positive_weight=a.positive_weight, constant_lr=not a.decay_lr,
         marker_repeats=a.marker_repeats,
         contrastive_updates=a.contrastive_updates,
+        pretrain_updates=a.pretrain_updates,
+        arms=a.arms,
+        star=not a.deep,
     )
     return 0
 

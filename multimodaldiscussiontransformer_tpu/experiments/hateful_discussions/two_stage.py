@@ -92,6 +92,7 @@ def generate_mini_corpus(
     image_px: int = 32,
     label_mode: str = "text",
     marker_repeats: int = 3,
+    context_star: bool = False,
 ) -> Dict[str, str]:
     """Write raw.json (reference schema), per-tree communities.json, root
     images, and a covering mini vocab.txt. Returns the file paths.
@@ -104,7 +105,15 @@ def generate_mini_corpus(
       independently of each node's own label) — per-comment text is at
       chance and only the discussion tree separates the classes. This is
       the corpus that makes the graph path PROVE itself
-      (experiments/hateful_discussions/context_ablation.py)."""
+      (experiments/hateful_discussions/context_ablation.py);
+    - "marker": identical tree/marker generation to "context", but each
+      comment is labeled by its OWN marker flag — the supervised stage-A
+      warm-up of the context ablation (the in-repo stand-in for the
+      reference's pretrained towers, which arrive already knowing what
+      hate words look like). Stage-A labels say nothing about stage-B
+      test labels through a node's own text (markers are independent
+      coins), so any above-chance context-corpus F1 after transfer must
+      come from learned tree routing."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     raw_path = os.path.join(out_dir, "raw.json")
@@ -122,10 +131,11 @@ def generate_mini_corpus(
                 )
                 image = f"images/img{t}.png"
                 Image.fromarray(arr).save(os.path.join(out_dir, image))
-            if label_mode == "context":
+            if label_mode in ("context", "marker"):
                 _write_context_tree(
                     f, rng, t, community, image,
-                    marker_repeats=marker_repeats,
+                    marker_repeats=marker_repeats, star=context_star,
+                    label_by="self" if label_mode == "marker" else "parent",
                 )
                 continue
             n_comments = int(rng.randint(3, 8))
@@ -182,19 +192,36 @@ def generate_mini_corpus(
 
 
 def _write_context_tree(
-    f, rng, t: int, community: int, image, marker_repeats: int = 3
+    f, rng, t: int, community: int, image, marker_repeats: int = 3,
+    star: bool = False, label_by: str = "parent",
 ) -> None:
     """One raw.json line in context label mode (see generate_mini_corpus).
 
     ``marker_repeats`` controls signal strength: how many marker tokens a
-    marked node's body carries (the rule stays parent-only either way)."""
-    n_comments = int(rng.randint(4, 9))
-    # tree shape first (labels depend on it): comment i hangs under the
-    # submission or a random earlier comment
-    parents = [
-        -1 if (i == 0 or rng.rand() < 0.5) else int(rng.randint(0, i))
-        for i in range(n_comments)
-    ]
+    marked node's body carries (the rule stays parent-only either way).
+
+    ``star``: 1-3 comments, ALL directly under the submission — every
+    label depends on the SUBMISSION's text. The parent-only rule and
+    signal-free labeled bodies are identical to the deep variant; what
+    changes is optimization reach: the context signal survives even
+    uniform (random-init) graph attention. Neither variant is learnable
+    from a fully random init in CPU-feasible budgets (measured: chance
+    through thousands of updates, with or without a contrastive
+    warm-start) — the reference never trains from scratch either
+    (run_train.sh:57-63) — which is why context_ablation.py warm-starts
+    both arms from a supervised marker-detection stage A
+    (label_mode="marker")."""
+    if star:
+        n_comments = int(rng.randint(1, 4))
+        parents = [-1] * n_comments
+    else:
+        n_comments = int(rng.randint(4, 9))
+        # tree shape first (labels depend on it): comment i hangs under the
+        # submission or a random earlier comment
+        parents = [
+            -1 if (i == 0 or rng.rand() < 0.5) else int(rng.randint(0, i))
+            for i in range(n_comments)
+        ]
     # marker flags are INDEPENDENT coin flips per node (incl. submission) —
     # a node's own marker says nothing about its own label
     sub_marker = bool(rng.rand() < 0.4)
@@ -214,8 +241,11 @@ def _write_context_tree(
         parent_marker = (
             sub_marker if parents[c] == -1 else markers[parents[c]]
         )
+        # label_by="self" (stage-A marker corpus): label = OWN marker;
+        # label_by="parent" (the context corpus): label = PARENT's marker
+        label_flag = markers[c] if label_by == "self" else parent_marker
         label = (
-            "DEG" if parent_marker
+            "DEG" if label_flag
             else ("lti_normal" if rng.rand() < 0.8 else "NA")
         )
         nodes.append(

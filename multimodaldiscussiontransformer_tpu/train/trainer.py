@@ -386,7 +386,15 @@ class Trainer:
         max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
 
         if state is None:
-            first = next(iter(self.train_batches(dataset, epoch=1)))
+            try:
+                first = next(iter(self.train_batches(dataset, epoch=1)))
+            except StopIteration:
+                raise ValueError(
+                    f"training split yields ZERO batches: "
+                    f"{len(dataset.train_idx)} train items < global batch "
+                    f"{cfg.data.batch_size * max(cfg.dp_size, 1)} with "
+                    f"drop_last — shrink the batch or grow the dataset"
+                ) from None
             state = self.init_state(first.asdict())
         scan_mode = (
             self.cfg.optim.scan_microbatches and self.cfg.optim.update_freq > 1

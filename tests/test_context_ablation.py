@@ -76,6 +76,57 @@ def test_context_corpus_invariants(tmp_path):
     assert n_pos > 10 and n_neg > 10, (n_pos, n_neg)
 
 
+def test_marker_corpus_invariants(tmp_path):
+    """label_mode="marker" (the stage-A warm-up corpus): a comment is
+    labeled by its OWN marker flag — body carries a marker IFF DEG — with
+    tree/marker generation otherwise identical to context mode."""
+    paths = two_stage.generate_mini_corpus(
+        str(tmp_path), n_trees=40, seed=3, image_prob=0.0,
+        label_mode="marker", context_star=True,
+    )
+    markers = set(two_stage.MARKER_WORDS)
+    n_pos = n_neg = 0
+    for sub in _load_trees(paths["raw"]):
+        flat = []
+        for top in sub["tree"]:
+            _flatten(top, None, flat)
+        for node, _parent in flat:
+            marked = any(
+                w in markers for w in node["data"]["body"].split()
+            )
+            label = node["data"]["label"]
+            if label == "DEG":
+                n_pos += 1
+                assert marked, node["data"]["id"]
+            elif label == "lti_normal":
+                n_neg += 1
+                assert not marked, node["data"]["id"]
+    assert n_pos > 10 and n_neg > 10, (n_pos, n_neg)
+
+
+def test_context_ablation_warm_start_plumbing(tmp_path):
+    """End-to-end plumbing of the full experiment driver at smoke scale:
+    corpus -> splits -> ingest -> contrastive warm-start -> head+optimizer
+    reset -> fine-tune BOTH arms -> margin dict. Numbers are meaningless at
+    this scale; the recorded capability run lives in BASELINE.md."""
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions import (
+        context_ablation,
+    )
+
+    # n_trees must give the contrastive stage >= one full batch of TREES
+    # (one contrastive item per tree, batch_size 8, drop_last)
+    res = context_ablation.run(
+        str(tmp_path), n_trees=16, updates=4, contrastive_updates=3,
+        pretrain_updates=3, max_length=16,
+    )
+    for key in (
+        "f1_pretrain", "f1_full", "f1_context_blind", "accuracy_full",
+        "accuracy_context_blind", "margin",
+    ):
+        assert key in res, res
+    assert np.isfinite(res["margin"])
+
+
 def test_context_blind_repack(tmp_path):
     """context_blind_items: same tokens + label, single-node tree."""
     from multimodaldiscussiontransformer_tpu.core import registry

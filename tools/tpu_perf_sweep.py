@@ -228,6 +228,18 @@ VARIANTS = {
     "big_nodes128_dotsnb": dict(remat=True, use_pallas=True, max_nodes=128,
                                 node_cap=512, label_cap=256,
                                 remat_policy="dots"),
+    # tunnel-helper fallbacks: the Nmax=128 Pallas+dots programs trip the
+    # remote-compile helper's large-payload failure (HTTP 500); these
+    # smaller/XLA-attention variants keep the selective-remat A/B
+    # measurable on the chip
+    "big_nodes128_dots_xla": dict(remat=True, use_pallas=False,
+                                  max_nodes=128, node_cap=512,
+                                  label_cap=256,
+                                  remat_policy="dots_saveable"),
+    "canon_remat": dict(remat=True, use_pallas=True),
+    "canon_dots": dict(remat=True, use_pallas=True,
+                       remat_policy="dots_saveable"),
+    "canon_dotsnb": dict(remat=True, use_pallas=True, remat_policy="dots"),
     # the real-recipe accumulation path: scan over 3 stacked microbatches
     # per optimizer update (run_train.sh:65)
     "uf3_scan_noremat": dict(remat=False, use_pallas=True, update_freq=3),

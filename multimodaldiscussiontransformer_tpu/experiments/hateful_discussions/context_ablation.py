@@ -1,14 +1,19 @@
-"""Does the graph path EARN its keep? Train on a corpus whose labels are
-only decidable from discussion context, and ablate the context away.
+"""Does the graph path EARN its keep? Train on a corpus where part of
+the label signal lives ONLY in the discussion tree, and ablate the tree
+away.
 
 The reference's raison d'etre is discussion-context hate classification
 (reference README.md:8-14: "discussions are not isolated comments");
 its recipe (run_train.sh:28-65) never demonstrates that in-repo. This
 experiment constructs the demonstration:
 
-1. ``two_stage.generate_mini_corpus(label_mode="context")``: a comment is
-   hate IFF its PARENT's text carries a marker word; every labeled body is
-   signal-free, so per-comment text is at chance by construction;
+1. ``two_stage.generate_mini_corpus(label_mode="context_or")``: a
+   comment is hate IFF its OWN text or its PARENT's text carries a
+   marker word (markers are independent coins per node, bodies are
+   length-matched). The parent-only positives are undecidable from the
+   comment alone, so a context-blind classifier has a PROVABLE F1
+   ceiling (~0.77 at the corpus's marker rate), while the full rule is
+   reachable only through tree routing;
 2. FULL model: the standard mDT (text tower + fusion + graphormer tree
    attention) trained with the node-prediction recipe -> test F1;
 3. CONTEXT-BLIND ablation: the SAME architecture/recipe on the same
@@ -17,10 +22,22 @@ experiment constructs the demonstration:
 
 A large full-vs-blind margin is the trained-model evidence that the
 fusion/graphormer machinery LEARNS from tree context, not just that it
-wires up.
+wires up. Measured (see BASELINE.md): the full model reaches test
+F1 1.0 FROM SCRATCH — it learns both the own-text rule and the
+cross-node routing — while the blind arm is capped at its ceiling.
+
+``--rule parent`` keeps the strict variant (label = parent marker ONLY,
+own text carries zero signal). That one is measured UNLEARNABLE here in
+CPU-feasible budgets from any warm start we built (including a perfect
+marker-detector stage A): token-substitution probes put the cross-node
+logit sensitivity at transfer at ~1e-3 of own-text sensitivity, and
+with no own-signal to keep the marker readout aligned, constant
+prediction is a stable plateau. The reference (pretrained towers,
+33k-tree corpus, GPU-days) never faces this regime: real hate labels
+always correlate with own text, which is exactly the "or" shape.
 
 Run: ``python -m multimodaldiscussiontransformer_tpu.experiments.\
-hateful_discussions.context_ablation --out /tmp/ctx`` (~10 min CPU at
+hateful_discussions.context_ablation --out /tmp/ctx`` (~30 min CPU at
 defaults). CI covers a reduced version (tests/test_context_ablation.py).
 """
 
@@ -163,11 +180,22 @@ def run(
     # exactly the learned tree routing. Measured: from random init OR
     # contrastive-only warm-start the fine-tune stays at chance for
     # thousands of updates; with the marker detector in place the
-    # context pathway is the only descent direction left.
-    pretrain_updates: int = 2000,
+    # context pathway is the only descent direction left. NOTE: with the
+    # default rule="or" the experiment learns FROM SCRATCH (the
+    # own-marker half of the rule bootstraps the readout), so the warm
+    # start defaults OFF; it remains for --rule parent forensics.
+    pretrain_updates: int = 0,
     # which ablation arms to run ("both" | "full") — "full" is the fast
     # iteration path when tuning the recipe
     arms: str = "both",
+    # label rule: "or" (headline, label_mode="context_or": hateful iff
+    # own OR parent marker — blind arm has a provable ceiling, full arm
+    # bootstraps routing off the own-marker signal) or "parent" (pure
+    # context: labels carry ZERO own-text signal; maximally strict but
+    # the routing must emerge from nothing — measured unlearnable in
+    # CPU-feasible budgets even from a marker-detector warm start, the
+    # cross-node logit sensitivity at transfer is ~1e-3 of own-text)
+    rule: str = "or",
     # star corpus (labels = the SUBMISSION's marker, 1-3 comments/tree):
     # the default capability probe. The deep variant (labels = a random
     # ancestor's marker inside 4-8-comment trees) additionally requires
@@ -206,7 +234,8 @@ def run(
 
     paths = generate_mini_corpus(
         out, n_trees=n_trees, seed=seed, image_px=image_px,
-        image_prob=0.0, label_mode="context",
+        image_prob=0.0,
+        label_mode="context_or" if rule == "or" else "context",
         marker_repeats=marker_repeats, context_star=star,
     )
     prev_vocab = os.environ.get("MDT_BERT_VOCAB")
@@ -442,8 +471,9 @@ def main(argv=None) -> int:
     p.add_argument("--decay-lr", action="store_true", default=False)
     p.add_argument("--marker-repeats", type=int, default=3)
     p.add_argument("--contrastive-updates", type=int, default=0)
-    p.add_argument("--pretrain-updates", type=int, default=2000)
+    p.add_argument("--pretrain-updates", type=int, default=0)
     p.add_argument("--arms", choices=("both", "full"), default="both")
+    p.add_argument("--rule", choices=("or", "parent"), default="or")
     p.add_argument("--deep", action="store_true", default=False,
                    help="deep corpus (ancestor rule in 4-8-comment trees) "
                         "instead of the default star corpus")
@@ -456,6 +486,7 @@ def main(argv=None) -> int:
         contrastive_updates=a.contrastive_updates,
         pretrain_updates=a.pretrain_updates,
         arms=a.arms,
+        rule=a.rule,
         star=not a.deep,
     )
     return 0

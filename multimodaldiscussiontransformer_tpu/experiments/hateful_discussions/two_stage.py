@@ -113,7 +113,13 @@ def generate_mini_corpus(
       hate words look like). Stage-A labels say nothing about stage-B
       test labels through a node's own text (markers are independent
       coins), so any above-chance context-corpus F1 after transfer must
-      come from learned tree routing."""
+      come from learned tree routing;
+    - "context_or": hateful IFF own OR parent marker — the headline
+      ablation corpus (see _write_context_tree's label_by notes): the
+      own-marker half keeps the marker readout alive and aligned during
+      training, the parent-only positives are reachable ONLY through
+      tree routing, and a context-blind classifier has a provable F1
+      ceiling below 1."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
     raw_path = os.path.join(out_dir, "raw.json")
@@ -131,11 +137,15 @@ def generate_mini_corpus(
                 )
                 image = f"images/img{t}.png"
                 Image.fromarray(arr).save(os.path.join(out_dir, image))
-            if label_mode in ("context", "marker"):
+            if label_mode in ("context", "marker", "context_or"):
                 _write_context_tree(
                     f, rng, t, community, image,
                     marker_repeats=marker_repeats, star=context_star,
-                    label_by="self" if label_mode == "marker" else "parent",
+                    label_by={
+                        "marker": "self",
+                        "context": "parent",
+                        "context_or": "self_or_parent",
+                    }[label_mode],
                 )
                 continue
             n_comments = int(rng.randint(3, 8))
@@ -228,12 +238,18 @@ def _write_context_tree(
     markers = [bool(rng.rand() < 0.4) for _ in range(n_comments)]
 
     def body_for(marker: bool) -> str:
+        # LENGTH-MATCHED: unmarked bodies append the same number of
+        # neutral filler words. Without this, marked bodies are
+        # marker_repeats tokens longer and the attention-mask length alone
+        # separates the classes — measured: a "marker detector" trained on
+        # the leaky corpus reached F1 1.0 while token-substitution probes
+        # moved its logits by <2% (it was a length detector), poisoning
+        # every transfer built on top.
         text = _sentence(rng, community, False)
-        if marker:
-            text += "".join(
-                " " + str(rng.choice(MARKER_WORDS))
-                for _ in range(marker_repeats)
-            )
+        pool = MARKER_WORDS if marker else NEUTRAL_WORDS
+        text += "".join(
+            " " + str(rng.choice(pool)) for _ in range(marker_repeats)
+        )
         return text
 
     nodes = []
@@ -242,8 +258,21 @@ def _write_context_tree(
             sub_marker if parents[c] == -1 else markers[parents[c]]
         )
         # label_by="self" (stage-A marker corpus): label = OWN marker;
-        # label_by="parent" (the context corpus): label = PARENT's marker
-        label_flag = markers[c] if label_by == "self" else parent_marker
+        # label_by="parent" (the pure context corpus): label = PARENT's
+        # marker; label_by="self_or_parent" (the headline ablation
+        # corpus): hateful IFF own OR parent marker — the reference's
+        # actual claim shape (context IMPROVES detection: a comment that
+        # looks innocuous in isolation is hateful in the context of the
+        # thread it supports, README.md:8-14). Under "self_or_parent" a
+        # context-blind classifier has a PROVABLE ceiling: it sees only
+        # own markers, so parent-only positives (p_parent*(1-p_own) of
+        # labeled nodes) are unreachable — the full-vs-blind margin is
+        # attributable to tree routing alone.
+        label_flag = {
+            "self": markers[c],
+            "parent": parent_marker,
+            "self_or_parent": markers[c] or parent_marker,
+        }[label_by]
         label = (
             "DEG" if label_flag
             else ("lti_normal" if rng.rand() < 0.8 else "NA")

@@ -76,6 +76,32 @@ def test_context_corpus_invariants(tmp_path):
     assert n_pos > 10 and n_neg > 10, (n_pos, n_neg)
 
 
+def test_no_length_leak(tmp_path):
+    """Marked and unmarked bodies must have IDENTICAL word counts: a
+    length difference lets the attention mask alone separate the classes
+    (measured: a 'marker detector' trained on a length-leaky corpus hit
+    F1 1.0 while token-substitution probes moved its logits by <2%)."""
+    paths = two_stage.generate_mini_corpus(
+        str(tmp_path), n_trees=30, seed=5, image_prob=0.0,
+        label_mode="context", marker_repeats=4,
+    )
+    markers = set(two_stage.MARKER_WORDS)
+    lens_marked, lens_unmarked = set(), set()
+    for sub in _load_trees(paths["raw"]):
+        flat = []
+        for top in sub["tree"]:
+            _flatten(top, None, flat)
+        bodies = [n["data"]["body"] for n, _ in flat]
+        bodies.append(sub["data"]["selftext"])
+        for b in bodies:
+            words = b.split()
+            (lens_marked if set(words) & markers else lens_unmarked).add(
+                len(words)
+            )
+    assert lens_marked and lens_unmarked
+    assert lens_marked == lens_unmarked, (lens_marked, lens_unmarked)
+
+
 def test_marker_corpus_invariants(tmp_path):
     """label_mode="marker" (the stage-A warm-up corpus): a comment is
     labeled by its OWN marker flag — body carries a marker IFF DEG — with
@@ -102,6 +128,44 @@ def test_marker_corpus_invariants(tmp_path):
                 n_neg += 1
                 assert not marked, node["data"]["id"]
     assert n_pos > 10 and n_neg > 10, (n_pos, n_neg)
+
+
+def test_context_or_corpus_invariants(tmp_path):
+    """label_mode="context_or" (the headline ablation corpus): hateful
+    IFF own OR parent marker; parent-only positives exist (the cases a
+    context-blind classifier provably cannot reach)."""
+    paths = two_stage.generate_mini_corpus(
+        str(tmp_path), n_trees=40, seed=3, image_prob=0.0,
+        label_mode="context_or", context_star=True,
+    )
+    markers = set(two_stage.MARKER_WORDS)
+    n_parent_only = n_pos = n_neg = 0
+    for sub in _load_trees(paths["raw"]):
+        sub_marked = any(
+            w in markers for w in sub["data"]["selftext"].split()
+        )
+        flat = []
+        for top in sub["tree"]:
+            _flatten(top, None, flat)
+        for node, parent in flat:
+            own = any(
+                w in markers for w in node["data"]["body"].split()
+            )
+            pmark = sub_marked if parent is None else any(
+                w in markers for w in parent["data"]["body"].split()
+            )
+            label = node["data"]["label"]
+            if label == "DEG":
+                n_pos += 1
+                assert own or pmark, node["data"]["id"]
+                if pmark and not own:
+                    n_parent_only += 1
+            elif label == "lti_normal":
+                n_neg += 1
+                assert not (own or pmark), node["data"]["id"]
+    assert n_pos > 10 and n_neg > 10 and n_parent_only > 5, (
+        n_pos, n_neg, n_parent_only,
+    )
 
 
 def test_context_ablation_warm_start_plumbing(tmp_path):

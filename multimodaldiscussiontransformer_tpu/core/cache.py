@@ -14,6 +14,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     try:
         import jax
 
+        # Only worth it (and only safe) off-CPU: the cache exists to hide
+        # the tunnel's minutes-long TPU compiles, while CPU AOT entries are
+        # pinned to the exact host machine features — reloading them on a
+        # different box trips "machine type doesn't match" XLA errors.
+        if jax.default_backend() == "cpu":
+            return None
         cache_dir = path or os.environ.get(
             "MDT_JAX_CACHE_DIR",
             os.path.join(

@@ -226,7 +226,8 @@ def _tile_keep_mask(seed_scalar, bh, iq, ik, nq, nk, shape, rate):
 
 
 def _make_kernel_flash(scale: float, double_add: bool, nk: int,
-                       nq: int = 0, rate: float = 0.0):
+                       nq: int = 0, rate: float = 0.0,
+                       with_lse: bool = False):
     """Streaming (flash) variant for S beyond the whole-S VMEM budget.
 
     Grid (B*H, nq, nk), k innermost; the (TQ, dh) output accumulator plus
@@ -234,20 +235,30 @@ def _make_kernel_flash(scale: float, double_add: bool, nk: int,
     tile — the (S, S) score matrix never materializes, so S is bounded by
     HBM, not VMEM (the whole-S kernels cap near S~2k).
 
-    The backward streams too (_tree_backward_flash: LSE pass + q-major
-    dq/dLUT pass + k-major dk/dv pass), so giant-S TRAINING never
-    materializes (S, S) either."""
+    The backward streams too (_tree_backward_flash: q-major dq/dLUT pass +
+    k-major dk/dv pass), so giant-S TRAINING never materializes (S, S)
+    either. With ``with_lse`` the kernel additionally flushes the per-row
+    logsumexp (m + log l) as a lane-broadcast (TQ, 128) page — the VJP
+    saves it as a residual so the backward skips both its standalone LSE
+    pass and the forward recompute for delta."""
 
     def kernel(*refs):
         from jax.experimental import pallas as pl
 
         if rate > 0.0:
-            (lut_ref, seed_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref,
-             out_ref, acc_ref, m_ref, l_ref) = refs
+            lut_ref, seed_ref, *rest = refs
         else:
-            (lut_ref, q_ref, k_ref, v_ref, tpl_ref, ids_ref, out_ref,
-             acc_ref, m_ref, l_ref) = refs
+            lut_ref, *rest = refs
             seed_ref = None
+        q_ref, k_ref, v_ref, tpl_ref, ids_ref = rest[:5]
+        rest = rest[5:]
+        if with_lse:
+            out_ref, lse_ref = rest[:2]
+            acc_ref, m_ref, l_ref = rest[2:]
+        else:
+            out_ref = rest[0]
+            lse_ref = None
+            acc_ref, m_ref, l_ref = rest[1:]
 
         bh = pl.program_id(0)
         iq = pl.program_id(1)
@@ -303,12 +314,18 @@ def _make_kernel_flash(scale: float, double_add: bool, nk: int,
             out_ref[0] = (
                 acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
             ).astype(out_ref.dtype)
+            if with_lse:
+                # lane-broadcast (TQ, 128) page, same layout as the
+                # standalone LSE pass (_make_kernel_flash_lse)
+                val = m_ref[...] + jnp.log(jnp.maximum(l_ref[...], 1e-30))
+                lse_ref[0] = jnp.broadcast_to(val, (val.shape[0], 128))
 
     return kernel
 
 
 def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add,
-                        seed=None, rate: float = 0.0):
+                        seed=None, rate: float = 0.0,
+                        with_lse: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -334,8 +351,26 @@ def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add,
     if rate > 0.0:
         extra_in = [seed.reshape(1)]
         extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    out = pl.pallas_call(
-        _make_kernel_flash(scale, double_add, nk, nq=nq, rate=rate),
+    out_spec = pl.BlockSpec(
+        (1, tile, dh), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((bsz * h, s_pad, dh), q.dtype)
+    if with_lse:
+        out_spec = [
+            out_spec,
+            pl.BlockSpec(
+                (1, tile, 128), lambda bh, iq, ik: (bh, iq, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((bsz * h, s_pad, 128), jnp.float32),
+        ]
+    res = pl.pallas_call(
+        _make_kernel_flash(
+            scale, double_add, nk, nq=nq, rate=rate, with_lse=with_lse
+        ),
         grid=(bsz * h, nq, nk),
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(
@@ -358,10 +393,8 @@ def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile, dh), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz * h, s_pad, dh), q.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile, dh), jnp.float32),
             pltpu.VMEM((tile, 1), jnp.float32),
@@ -374,8 +407,12 @@ def _tree_forward_flash(q, k, v, template, ids, lut, scale, double_add,
             transcendentals=bsz * h * s_pad * s_pad,
         ),
     )(jnp.asarray(lut.T), *extra_in, qf, kf, vf, template, ids)
+    out, lse = res if with_lse else (res, None)
     out = out.reshape(bsz, h, s_pad, dh)
-    return out[:, :, :s, :] if s_pad != s else out
+    out = out[:, :, :s, :] if s_pad != s else out
+    # lse stays at the padded (B*H, s_pad, 128) page layout — exactly what
+    # _tree_backward_flash consumes
+    return (out, lse) if with_lse else out
 
 
 def _make_kernel_flash_lse(scale: float, double_add: bool, nk: int):
@@ -594,12 +631,15 @@ def _make_kernel_flash_dkv(scale: float, double_add: bool, nq: int,
 
 
 def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add,
-                         seed=None, rate: float = 0.0):
+                         seed=None, rate: float = 0.0,
+                         lse=None, out=None):
     """Streaming (flash) backward — nothing (S, S)-sized ever materializes.
 
-    Three passes: per-row LSE (re-derives the forward's online-softmax
-    state), q-major dq + dLUT, k-major dk/dv; ``delta`` = rowsum(g * out)
-    with out itself recomputed by the streaming forward (O(S·dh) extra).
+    Two streaming passes when the VJP saved residuals (the fast path:
+    ``lse`` is the forward's per-row logsumexp page, ``out`` its primal
+    output for ``delta`` = rowsum(g * out)): q-major dq + dLUT, then
+    k-major dk/dv. Without residuals (e.g. a direct call) it falls back to
+    re-deriving both: an extra LSE pass plus a streaming-forward recompute.
     With ``rate > 0`` every pass regenerates the SAME per-tile dropout
     keep-mask from (seed, bh, q-tile, k-tile) — giant-S training with
     attention dropout streams end to end."""
@@ -642,37 +682,40 @@ def _tree_backward_flash(q, k, v, template, ids, lut, g, scale, double_add,
         memory_space=pltpu.VMEM,
     )
 
-    # pass 1: LSE
-    lse = pl.pallas_call(
-        _make_kernel_flash_lse(scale, double_add, nk),
-        grid=(bsz * h, nq, nk),
-        interpret=interp,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            qkv_spec, kv_spec, tpl_spec, tpl_spec,
-        ],
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz * h, s_pad, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile, 1), jnp.float32),
-            pltpu.VMEM((tile, 1), jnp.float32),
-        ],
-    )(lut_t, qf, kf, template, ids)
+    if lse is None:
+        # fallback LSE pass (the VJP fast path saves it from the forward)
+        lse = pl.pallas_call(
+            _make_kernel_flash_lse(scale, double_add, nk),
+            grid=(bsz * h, nq, nk),
+            interpret=interp,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                qkv_spec, kv_spec, tpl_spec, tpl_spec,
+            ],
+            out_specs=row_spec,
+            out_shape=jax.ShapeDtypeStruct((bsz * h, s_pad, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((tile, 1), jnp.float32),
+                pltpu.VMEM((tile, 1), jnp.float32),
+            ],
+        )(lut_t, qf, kf, template, ids)
 
-    # delta = rowsum(g * out); out recomputed by the streaming forward
-    # (WITH the same dropout mask when rate > 0 — delta must describe the
-    # dropped output, matching sum_k dp_norm * p_norm)
-    out = _tree_forward_flash(
-        q[:, :, :s, :] if s_pad != s else q,
-        k[:, :, :s, :] if s_pad != s else k,
-        v[:, :, :s, :] if s_pad != s else v,
-        template[:, :s, :s] if s_pad != s else template,
-        ids[:, :s, :s] if s_pad != s else ids,
-        lut, scale, double_add, seed=seed, rate=rate,
-    )
+    # delta = rowsum(g * out); out is the saved primal output (or, on the
+    # fallback path, recomputed by the streaming forward — WITH the same
+    # dropout mask when rate > 0: delta must describe the dropped output,
+    # matching sum_k dp_norm * p_norm)
+    if out is None:
+        out = _tree_forward_flash(
+            q[:, :, :s, :] if s_pad != s else q,
+            k[:, :, :s, :] if s_pad != s else k,
+            v[:, :, :s, :] if s_pad != s else v,
+            template[:, :s, :s] if s_pad != s else template,
+            ids[:, :s, :s] if s_pad != s else ids,
+            lut, scale, double_add, seed=seed, rate=rate,
+        )
     delta = jnp.sum(
         out.astype(jnp.float32) * g[:, :, :s, :].astype(jnp.float32), axis=-1
     )
@@ -857,18 +900,27 @@ def _tree_attention(q, k, v, template, ids, lut, scale, double_add):
 
 
 def _fwd(q, k, v, template, ids, lut, scale, double_add):
+    s_pad8 = -(-q.shape[2] // 8) * 8
+    if s_pad8 >= _FLASH_MIN_S:
+        # giant-S: save out + LSE so the streaming backward runs in two
+        # passes (dq/dLUT, dk/dv) instead of four (LSE + fwd recompute)
+        out, lse = _tree_forward_flash(
+            q, k, v, template, ids, lut, scale, double_add, with_lse=True
+        )
+        return out, (q, k, v, template, ids, lut, out, lse)
     out = _tree_attention(q, k, v, template, ids, lut, scale, double_add)
-    return out, (q, k, v, template, ids, lut)
+    return out, (q, k, v, template, ids, lut, None, None)
 
 
 def _bwd(scale, double_add, res, g):
-    q, k, v, template, ids, lut = res
+    q, k, v, template, ids, lut, out, lse = res
     s_pad8 = -(-q.shape[2] // 8) * 8
     if s_pad8 >= _FLASH_MIN_S:
         # giant-S: streaming backward — the (B, H, S, S) recompute below
         # would not fit HBM at the sizes the flash forward serves
         dq, dk, dv, dlut = _tree_backward_flash(
-            q, k, v, template, ids, lut, g, scale, double_add
+            q, k, v, template, ids, lut, g, scale, double_add,
+            lse=lse, out=out,
         )
         return dq, dk, dv, None, None, dlut
     qf, kf, vf, gf = (x.astype(jnp.float32) for x in (q, k, v, g))
@@ -1288,7 +1340,8 @@ def _dropout_forward(q, k, v, template, ids, lut, seed, rate, scale, double_add)
     return out[:, :, :s, :] if s_pad != s else out
 
 
-def _dropout_backward(q, k, v, template, ids, lut, seed, g, rate, scale, double_add):
+def _dropout_backward(q, k, v, template, ids, lut, seed, g, rate, scale,
+                      double_add, lse=None, out=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1298,7 +1351,7 @@ def _dropout_backward(q, k, v, template, ids, lut, seed, g, rate, scale, double_
         # giant-S: streaming backward regenerating the same tile masks
         return _tree_backward_flash(
             q, k, v, template, ids, lut, g, scale, double_add,
-            seed=seed, rate=rate,
+            seed=seed, rate=rate, lse=lse, out=out,
         )
     if s_pad != s:
         pad4 = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
@@ -1422,16 +1475,27 @@ def tree_attention_dropout(q, k, v, template, ids, lut, seed, rate, scale, doubl
 
 
 def _drop_fwd(q, k, v, template, ids, lut, seed, rate, scale, double_add):
+    s_pad8 = -(-q.shape[2] // 8) * 8
+    if s_pad8 >= _FLASH_MIN_S:
+        # giant-S: save out + LSE (dropout-independent: l accumulates the
+        # UNDROPPED exponentials) so the streaming backward skips its LSE
+        # pass and the dropped-forward recompute for delta
+        out, lse = _tree_forward_flash(
+            q, k, v, template, ids, lut, scale, double_add,
+            seed=seed, rate=rate, with_lse=True,
+        )
+        return out, (q, k, v, template, ids, lut, seed, out, lse)
     out = tree_attention_dropout(
         q, k, v, template, ids, lut, seed, rate, scale, double_add
     )
-    return out, (q, k, v, template, ids, lut, seed)
+    return out, (q, k, v, template, ids, lut, seed, None, None)
 
 
 def _drop_bwd(rate, scale, double_add, res, g):
-    q, k, v, template, ids, lut, seed = res
+    q, k, v, template, ids, lut, seed, out, lse = res
     dq, dk, dv, dlut = _dropout_backward(
-        q, k, v, template, ids, lut, seed, g, rate, scale, double_add
+        q, k, v, template, ids, lut, seed, g, rate, scale, double_add,
+        lse=lse, out=out,
     )
     return dq, dk, dv, None, None, dlut, None
 

@@ -142,6 +142,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--no-use-pallas-attention for the XLA path)")
     # smoke-run conveniences
     p.add_argument("--synthetic", action="store_true", default=False)
+    p.add_argument("--synthetic-graphs", type=int, default=None,
+                   help="synthetic corpus size (default max(4*batch, 32)); "
+                        "raise for steady-state throughput measurement")
     p.add_argument("--tiny", action="store_true", default=False,
                    help="tiny model geometry for smoke tests")
     return p
@@ -322,7 +325,11 @@ def main(argv=None) -> int:
     if args.synthetic:
         img = (3, 32, 32) if args.tiny else (3, 224, 224)
         factory_kwargs = dict(
-            num_graphs=max(4 * cfg.data.batch_size, 32),
+            num_graphs=(
+                args.synthetic_graphs
+                if args.synthetic_graphs is not None
+                else max(4 * cfg.data.batch_size, 32)
+            ),
             seed=cfg.seed,
             contrastive=task.contrastive,
             seq_len=cfg.data.max_text_len,

@@ -393,6 +393,11 @@ class TrainConfig:
     max_epoch: int = 37
     validate_interval_updates: int = 300
     save_dir: str = "checkpoints"
+    # FairSeq --save-interval / --save-interval-updates: checkpoint every
+    # Nth epoch end (always at the final epoch) / every N optimizer
+    # updates (0 = off). Defaults match fairseq's (1 / 0).
+    save_interval: int = 1
+    save_interval_updates: int = 0
     restore_file: Optional[str] = None
     reset_optimizer: bool = False
     seed: int = 1

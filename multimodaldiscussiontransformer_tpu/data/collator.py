@@ -174,6 +174,40 @@ def pad_batch_to_shapes(
     return out
 
 
+def all_pad_like(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """An ALL-PAD microbatch with the same shapes/dtypes as ``batch``.
+
+    Built by running ``collate`` itself on zero items with single-entry
+    ladders read off the template's shapes, so every pad convention (idx
+    -1, ``attn_bias`` n=0 template rows, capacity sentinels) is the one
+    the collator already emits for padded eval tails — not a parallel
+    re-implementation. Used to grow a ragged epoch-tail accumulation
+    group to the full ``update_freq`` so the scan train step keeps ONE
+    compiled shape; a pad microbatch contributes exactly zero summed
+    loss/grads/sample-size, so the update is bit-identical to the short
+    group's (tests/test_scan_microbatches.py pins this)."""
+    contrastive = batch["y_node"].shape[0] == 0
+    out = collate(
+        [],
+        node_buckets=[batch["in_degree"].shape[1]],
+        node_capacity_buckets=[batch["input_ids"].shape[0]],
+        image_capacity_buckets=[batch["images"].shape[0]],
+        label_capacity_buckets=[batch["y"].shape[0]],
+        contrastive=contrastive,
+        image_shape=tuple(batch["images"].shape[1:]),
+        pad_to_graphs=batch["idx"].shape[0],
+        text_len=batch["input_ids"].shape[1],
+    ).asdict()
+    mismatched = {
+        k: (v.shape, batch[k].shape)
+        for k, v in out.items()
+        if v.shape != batch[k].shape
+    }
+    if mismatched:
+        raise ValueError(f"all_pad_like shape mismatch: {mismatched}")
+    return out
+
+
 def collate(
     items: List[GraphItem],
     spatial_pos_max: int = 5,

@@ -104,7 +104,7 @@ class ThreadedPrefetcher:
             self.close()
 
 
-def stack_microbatches(batches, k: int):
+def stack_microbatches(batches, k: int, pad_tail: bool = False):
     """Group a host batch stream into (k, ...)-stacked dicts for the
     scan-accumulated train step.
 
@@ -113,11 +113,19 @@ def stack_microbatches(batches, k: int):
     numerics-identical by the padding-invariance contract), so multi-entry
     bucket ladders work: the compiled-signature space is the set of
     member-wise-max combinations, the same ladder space as single batches.
-    A ragged final group is yielded with its smaller leading dim (one extra
-    compiled shape per epoch tail)."""
+
+    A ragged final group is yielded with its smaller leading dim (one
+    extra compiled shape per epoch tail) — unless ``pad_tail``, which
+    appends ALL-PAD microbatches (collator.all_pad_like: zero grads, zero
+    sample size, zero metric counts) so every group has leading dim k and
+    the scan step compiles exactly once per bucket signature. FairSeq
+    counts a short tail as one full optimizer update
+    (fairseq/trainer.py update-freq semantics); the padded group's update
+    is bit-identical to the short group's."""
     import numpy as np
 
     from multimodaldiscussiontransformer_tpu.data.collator import (
+        all_pad_like,
         pad_batch_to_shapes,
     )
 
@@ -142,6 +150,9 @@ def stack_microbatches(batches, k: int):
             yield flush(buf)
             buf = []
     if buf:
+        if pad_tail and len(buf) < k:
+            pad = all_pad_like(buf[0])
+            buf.extend(pad for _ in range(k - len(buf)))
         yield flush(buf)
 
 

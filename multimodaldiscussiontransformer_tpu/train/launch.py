@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore-file", default=None)
     p.add_argument("--reset-optimizer", action="store_true", default=False)
     p.add_argument("--validate-interval-updates", type=int, default=300)
+    # fairseq --save-interval / --save-interval-updates
+    p.add_argument("--save-interval", type=int, default=1)
+    p.add_argument("--save-interval-updates", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--wandb-project", default=os.environ.get("WANDB_PROJECT"))
     # mesh
@@ -262,6 +265,8 @@ def config_from_args(args) -> "TrainConfig":
         arch=args.arch,
         max_epoch=args.max_epoch,
         validate_interval_updates=args.validate_interval_updates,
+        save_interval=args.save_interval,
+        save_interval_updates=args.save_interval_updates,
         save_dir=args.save_dir,
         restore_file=args.restore_file,
         reset_optimizer=args.reset_optimizer,
@@ -400,14 +405,37 @@ def main(argv=None) -> int:
         cfg.save_dir, wandb_project=args.wandb_project,
         config=dataclasses.asdict(cfg),
     )
-    state = trainer.fit(
-        dataset,
-        state=state,
-        max_updates=args.max_updates,
-        writer=writer,
-        checkpointer=ckpt,
-    )
+    # Preemption handling (SURVEY §5 failure-detection row): TPU VMs get
+    # SIGTERM with a short grace period before the maintenance event. The
+    # handler only flips a flag; the train loop checkpoints at the next
+    # update boundary and returns, and the auto-resume branch above picks
+    # the run back up on the replacement VM.
+    import signal
+
+    stop = {"requested": False}
+
+    def _request_stop(signum, frame):
+        stop["requested"] = True
+        print(f"signal {signum}: finishing current update, then "
+              "checkpoint + exit")
+
+    prev_term = signal.signal(signal.SIGTERM, _request_stop)
+    try:
+        state = trainer.fit(
+            dataset,
+            state=state,
+            max_updates=args.max_updates,
+            writer=writer,
+            checkpointer=ckpt,
+            should_stop=lambda: stop["requested"],
+        )
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
     ckpt.wait()
+    if stop["requested"]:
+        print(f"preempted: checkpoint saved at step {int(state.step)}")
+        writer.close()
+        return 0
     if len(dataset.test_idx):
         test_metrics = trainer.evaluate(state, dataset, "test")
         writer.write("test", int(state.step), test_metrics)

@@ -381,6 +381,7 @@ class Trainer:
         writer: Optional[MetricsWriter] = None,
         checkpointer=None,
         log_fn: Callable[[str], None] = print,
+        should_stop: Optional[Callable[[], bool]] = None,
     ) -> TrainState:
         cfg = self.cfg
         max_epoch = max_epoch if max_epoch is not None else cfg.max_epoch
@@ -421,6 +422,7 @@ class Trainer:
         num_updates = micro_steps // k
         last_logged = num_updates
         last_validated = num_updates
+        last_saved = num_updates
         best_metric = None
         lr_fn = polynomial_decay_schedule(
             cfg.optim.lr, cfg.optim.end_learning_rate,
@@ -460,15 +462,33 @@ class Trainer:
             cast_images_for_transfer,
         )
 
+        def counted(groups):
+            # real (non-pad) graphs per group, computed host-side before
+            # transfer: pad graphs carry idx == -1 (collate / all_pad_like)
+            for h in groups:
+                yield h, int((h["idx"] >= 0).sum())
+
         def epoch_stream(epoch):
             if scan_mode:
+                # pad_tail: a ragged epoch-tail group is grown to k with
+                # all-pad microbatches so the scan step keeps ONE compiled
+                # shape per bucket signature (the update is bit-identical;
+                # see stack_microbatches)
                 return ThreadedPrefetcher(
-                    stack_microbatches(self.train_batches(dataset, epoch), k),
-                    lambda h: shard_stacked_batch(
-                        self.mesh,
-                        cast_images_for_transfer(
-                            h, self._image_transfer_dtype
+                    counted(
+                        stack_microbatches(
+                            self.train_batches(dataset, epoch), k,
+                            pad_tail=True,
+                        )
+                    ),
+                    lambda item: (
+                        shard_stacked_batch(
+                            self.mesh,
+                            cast_images_for_transfer(
+                                item[0], self._image_transfer_dtype
+                            ),
                         ),
+                        item[1],
                     ),
                 )
             return prefetch_to_device(
@@ -482,6 +502,7 @@ class Trainer:
                 for jb in epoch_stream(epoch):
                     batch_index += 1
                     if scan_mode:
+                        jb, real_graphs = jb
                         # resume skipping in whole accumulation groups
                         if (
                             epoch == start_epoch
@@ -496,9 +517,7 @@ class Trainer:
                         # counts (FairSeq counts the tail as a full update),
                         # so count invocations, not micro_steps // k
                         num_updates += 1
-                        window_graphs += int(
-                            jb["idx"].shape[0] * jb["idx"].shape[1]
-                        )
+                        window_graphs += real_graphs
                     else:
                         if epoch == start_epoch and batch_index < skip_batches:
                             continue
@@ -538,11 +557,39 @@ class Trainer:
                             best_metric = vm[key]
                             if checkpointer is not None:
                                 checkpointer.save(state, num_updates, best=True)
+                    if (
+                        checkpointer is not None
+                        and cfg.save_interval_updates
+                        and num_updates - last_saved
+                        >= cfg.save_interval_updates
+                    ):
+                        last_saved = num_updates
+                        checkpointer.save(state, num_updates)
                     if max_updates is not None and num_updates >= max_updates:
                         if checkpointer is not None:
                             checkpointer.save(state, num_updates)
                         return state
+                    # preemption (SIGTERM on TPU VMs, ~30s grace): persist
+                    # a resumable checkpoint at the update boundary and
+                    # return — auto-resume (launch.py restore-from-latest +
+                    # the mid-epoch skip above) continues the run exactly
+                    if should_stop is not None and should_stop():
+                        log_fn(
+                            f"stop requested at update {num_updates}: "
+                            "checkpointing and exiting"
+                        )
+                        if checkpointer is not None:
+                            checkpointer.save(state, num_updates)
+                            checkpointer.wait()
+                        return state
                 state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
-                if checkpointer is not None:
+                # FairSeq --save-interval semantics: checkpoint every Nth
+                # epoch end (default 1), always at the final epoch. Saves
+                # are Orbax-async, but the D2H fence still stalls the loop
+                # on slow links — raising the interval bounds that cost.
+                if checkpointer is not None and (
+                    epoch % max(cfg.save_interval, 1) == 0
+                    or epoch == max_epoch
+                ):
                     checkpointer.save(state, num_updates)
         return state

@@ -193,6 +193,95 @@ def test_stack_microbatches_shapes_and_tail():
     assert all(x == 3 for x in ks[:-1])
 
 
+def _dropout_free_cfg(**kw):
+    import dataclasses
+
+    base_model = tiny_model_config(
+        dropout=0.0, attention_dropout=0.0, act_dropout=0.0
+    )
+    return make_cfg(
+        model=base_model.replace(
+            text_tower=dataclasses.replace(
+                base_model.text_tower,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            ),
+            image_tower=dataclasses.replace(
+                base_model.image_tower,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            ),
+        ),
+        **kw,
+    )
+
+
+def test_pad_tail_group_update_is_bit_identical():
+    """A ragged tail group padded to k with all-pad microbatches
+    (stack_microbatches pad_tail=True) must produce the SAME update as the
+    short group: the pads contribute exactly zero summed loss/grads/sample
+    size, so both the normalized grads and the post-Adam params agree
+    bitwise (g + 0.0 == g; real microbatches precede the pads in the scan,
+    so they consume identical dropout keys)."""
+    cfg = _dropout_free_cfg()
+    trainer = Trainer(cfg, mesh=make_mesh(2, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=40, seed=4, **SYN)
+    batches = list(trainer.train_batches(ds, epoch=1))[:2]
+
+    short = next(iter(stack_microbatches(iter(batches), 3)))
+    padded = next(iter(stack_microbatches(iter(batches), 3, pad_tail=True)))
+    assert short["idx"].shape[0] == 2
+    assert padded["idx"].shape[0] == 3
+    # the pad member is all-pad: idx -1, no real node rows, no labels
+    assert (padded["idx"][2] == -1).all()
+    assert not padded["grid_mask"][2].any()
+    assert not padded["y_slot_mask"][2].any()
+    # real members are untouched by the padding
+    for key in short:
+        np.testing.assert_array_equal(padded[key][:2], short[key])
+
+    step = None
+    results = []
+    for group in (short, padded):
+        state = trainer.init_state(batches[0].asdict())
+        if step is None:  # tx exists only after init_state
+            step = trainer._make_train_step_scan(return_grads=True)
+        with trainer.mesh:
+            jb = shard_stacked_batch(trainer.mesh, group)
+            new_state, logs = step(state, jb)
+        results.append(
+            (
+                jax.device_get(logs["grads"]),
+                jax.device_get(new_state.params),
+                jax.device_get(
+                    {k: v for k, v in logs.items() if k != "grads"}
+                ),
+            )
+        )
+    (g_s, p_s, l_s), (g_p, p_p, l_p) = results
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(jax.tree.leaves(p_p), jax.tree.leaves(p_s)):
+        np.testing.assert_array_equal(a, b)
+    # summed metric counts unchanged (pad graphs log nothing)
+    for key in l_s:
+        np.testing.assert_allclose(
+            np.asarray(l_p[key]), np.asarray(l_s[key]), rtol=0, atol=0
+        )
+
+
+def test_fit_pads_ragged_tail_group(tmp_path):
+    """End-to-end: an epoch whose microbatch count is not a multiple of
+    update_freq runs the tail through the SAME compiled scan shape —
+    state.step advances in exact multiples of k (pads count as consumed
+    microbatches, mirroring state.step += k inside the step)."""
+    cfg = make_cfg(save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg, mesh=make_mesh(2, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=70, seed=5, **SYN)
+    n_micro = len(list(trainer.train_batches(ds, epoch=1)))
+    assert n_micro % 3 != 0, "fixture must produce a ragged tail"
+    state = trainer.fit(ds, max_epoch=1)
+    assert int(state.step) == -(-n_micro // 3) * 3
+
+
 def test_stack_microbatches_pads_mixed_shapes_inertly():
     """Multi-entry bucket ladders: group members landing in different
     buckets are grown to the group max with inert padding — the padded

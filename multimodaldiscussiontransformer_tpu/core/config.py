@@ -415,6 +415,11 @@ class TrainConfig:
     # sequence-parallel axis size (giant trees; pairs with
     # ModelConfig.sequence_parallel — see that field's doc)
     sp_size: int = 1
+    # multi-slice pods (DCN): outermost 'dcn' mesh axis, pure data
+    # parallelism across slices — batch shards over (dcn, dp), params
+    # replicate per slice, fsdp/tp/sp collectives stay on intra-slice ICI
+    # (parallel/mesh.py::make_mesh). dp_size=-1 then means per-slice dp.
+    num_slices: int = 1
     # Generate dropout masks with the TPU hardware RNG (rbg) instead of
     # threefry: the model is dropout-heavy (0.4/0.3/0.3 on every layer) and
     # threefry bits are compute-bound on TPU — measured +16% train

@@ -377,29 +377,28 @@ def masked_attention(
 
     from multimodaldiscussiontransformer_tpu.ops.tree_attention import (
         _dp_shard_spec,
+        _shard_linear_index,
     )
 
     dp = _dp_shard_spec()
     if dp is not None and bsz % dp[1] == 0:
         from jax.sharding import PartitionSpec as P
 
-        mesh, _ = dp
+        mesh, _, axes = dp
         if key_mask_bias is None:
             key_mask_bias = jnp.zeros((bsz, s), jnp.float32)
 
         def sharded(q_, k_, v_, m_, s_):
             # decorrelate dropout masks across dp shards (mask is a
             # function of seed + LOCAL grid step)
-            s_ = s_ + jax.lax.axis_index("dp").astype(jnp.int32) * jnp.int32(
-                1000003
-            )
+            s_ = s_ + _shard_linear_index(mesh, axes) * jnp.int32(1000003)
             return impl(q_, k_, v_, m_, s_)
 
         fn = jax.shard_map(
             sharded,
             mesh=mesh,
-            in_specs=(P("dp"),) * 4 + (P(),),
-            out_specs=P("dp"),
+            in_specs=(P(axes),) * 4 + (P(),),
+            out_specs=P(axes),
             check_vma=False,
         )
         return fn(q, k, v, key_mask_bias, seed)

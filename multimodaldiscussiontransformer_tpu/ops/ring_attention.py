@@ -193,8 +193,13 @@ def ring_tree_attention_dispatch(
     else:
         qp, kp, vp, tpl, idp = q, k, v, template.astype(jnp.float32), ids
 
-    dp_ok = "dp" in mesh.shape and mesh.shape["dp"] > 1 and b % mesh.shape["dp"] == 0
-    bax = "dp" if dp_ok else None
+    baxes = tuple(
+        a for a in ("dcn", "dp") if a in mesh.shape and mesh.shape[a] > 1
+    )
+    bsize = 1
+    for a in baxes:
+        bsize *= mesh.shape[a]
+    bax = baxes if baxes and b % bsize == 0 else None
 
     seed_arr = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32

@@ -1518,13 +1518,13 @@ def tree_attention_dropout_dispatch(
     if dp is not None and q.shape[0] % dp[1] == 0:
         from jax.sharding import PartitionSpec as P
 
-        mesh, _ = dp
+        mesh, _, axes = dp
 
         def sharded(q_, k_, v_, t_, i_, l_, s_):
             # decorrelate masks across dp shards: the replicated seed plus a
             # shard-unique offset (masks are per-(seed, local b, h), so
             # without this every shard would reuse the same mask set)
-            s_ = s_ + jax.lax.axis_index("dp").astype(jnp.int32) * jnp.int32(
+            s_ = s_ + _shard_linear_index(mesh, axes) * jnp.int32(
                 1000003  # large odd stride, int32-safe
             )
             return impl(q_, k_, v_, t_, i_, l_, s_)
@@ -1532,8 +1532,8 @@ def tree_attention_dropout_dispatch(
         fn = jax.shard_map(
             sharded,
             mesh=mesh,
-            in_specs=(P("dp"),) * 5 + (P(), P()),
-            out_specs=P("dp"),
+            in_specs=(P(axes),) * 5 + (P(), P()),
+            out_specs=P(axes),
             check_vma=False,
         )
         return fn(q, k, v, template, ids, lut, seed)
@@ -1541,18 +1541,40 @@ def tree_attention_dropout_dispatch(
 
 
 def _dp_shard_spec():
-    """If tracing inside a multi-device mesh with a 'dp' axis, return
-    (mesh, dp_size); else None. Used to shard_map the kernel over the batch
-    axis instead of letting GSPMD replicate an unpartitionable custom call."""
+    """If tracing inside a multi-device mesh with data-parallel axes,
+    return (mesh, total_dp_size, axes) where ``axes`` is the tuple of
+    batch-sharding mesh axes (('dcn', 'dp') on a multi-slice mesh, else
+    ('dp',)); else None. Used to shard_map the kernel over the batch axis
+    instead of letting GSPMD replicate an unpartitionable custom call."""
     try:
         from jax.sharding import get_abstract_mesh
 
         mesh = get_abstract_mesh()
-        if mesh is not None and "dp" in mesh.shape and mesh.shape["dp"] > 1:
-            return mesh, mesh.shape["dp"]
+        if mesh is None or "dp" not in mesh.shape:
+            return None
+        axes = tuple(
+            a for a in ("dcn", "dp")
+            if a in mesh.shape and mesh.shape[a] > 1
+        )
+        if not axes:
+            return None
+        total = 1
+        for a in axes:
+            total *= mesh.shape[a]
+        return mesh, total, axes
     except Exception:
         pass
     return None
+
+
+def _shard_linear_index(mesh, axes) -> jnp.ndarray:
+    """Linearized shard index over ``axes`` (row-major), inside shard_map."""
+    idx = jnp.int32(0)
+    for a in axes:
+        idx = idx * jnp.int32(mesh.shape[a]) + jax.lax.axis_index(a).astype(
+            jnp.int32
+        )
+    return idx
 
 
 def tree_attention(
@@ -1583,8 +1605,8 @@ def tree_attention(
     if kernel_ok and dp is not None and q.shape[0] % dp[1] == 0:
         from jax.sharding import PartitionSpec as P
 
-        mesh, _ = dp
-        batch_spec = P("dp")
+        mesh, _, axes = dp
+        batch_spec = P(axes)
         fn = jax.shard_map(
             impl,
             mesh=mesh,

@@ -12,21 +12,84 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DP_AXIS = "dp"
 TP_AXIS = "tp"
 SP_AXIS = "sp"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(
     dp_size: int = -1,
     tp_size: int = 1,
     sp_size: int = 1,
+    num_slices: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """A (dp, tp[, sp]) mesh. ``dp_size=-1`` uses all remaining devices.
+    """A ([dcn,] dp, tp[, sp]) mesh. ``dp_size=-1`` uses all remaining
+    devices (per slice, when ``num_slices > 1``).
 
     The ``sp`` axis (only materialized when ``sp_size > 1``) shards the
     graph-attention node axis for giant trees (ring attention,
     ops/ring_attention.py; enabled by ``ModelConfig.sequence_parallel``).
-    It is innermost so ring ppermute hops ride neighbouring ICI links."""
+    It is innermost so ring ppermute hops ride neighbouring ICI links.
+
+    ``num_slices > 1`` (multi-slice pods connected over DCN) adds an
+    outermost ``dcn`` axis: the batch shards over (dcn, dp) jointly
+    (pure data parallelism across slices — the only traffic crossing the
+    slower DCN links is the once-per-step gradient all-reduce, which
+    GSPMD decomposes hierarchically: reduce-scatter inside each slice
+    over ICI, then the small cross-slice exchange), while tp/sp/fsdp
+    collectives stay strictly within a slice on ICI. Devices are grouped
+    by ``device.slice_index`` when the backend reports one (real
+    multi-slice TPU); otherwise contiguous blocks (CPU simulation)."""
     devices = list(devices if devices is not None else jax.devices())
+    if num_slices > 1:
+        slice_ids = [getattr(d, "slice_index", None) for d in devices]
+        if all(s is not None for s in slice_ids):
+            by_slice: dict = {}
+            for d in devices:
+                by_slice.setdefault(d.slice_index, []).append(d)
+            if len(by_slice) != num_slices:
+                raise ValueError(
+                    f"num_slices={num_slices} but backend reports "
+                    f"{len(by_slice)} slices"
+                )
+            groups = [by_slice[s] for s in sorted(by_slice)]
+            if len({len(g) for g in groups}) != 1:
+                raise ValueError("slices have unequal device counts")
+        else:
+            if len(devices) % num_slices:
+                raise ValueError(
+                    f"{len(devices)} devices not divisible by "
+                    f"num_slices={num_slices}"
+                )
+            per = len(devices) // num_slices
+            groups = [
+                devices[i * per : (i + 1) * per] for i in range(num_slices)
+            ]
+        per_slice = len(groups[0])
+        if dp_size == -1:
+            if per_slice % (tp_size * sp_size):
+                raise ValueError(
+                    f"{per_slice} devices/slice not divisible by "
+                    f"tp={tp_size} x sp={sp_size}"
+                )
+            dp_size = per_slice // (tp_size * sp_size)
+        need = dp_size * tp_size * sp_size
+        if need > per_slice:
+            raise ValueError(
+                f"mesh {dp_size}x{tp_size}x{sp_size} needs {need} "
+                f"devices/slice, have {per_slice}"
+            )
+        flat = [d for g in groups for d in g[:need]]
+        shape = (
+            (num_slices, dp_size, tp_size, sp_size)
+            if sp_size > 1
+            else (num_slices, dp_size, tp_size)
+        )
+        axes = (
+            (DCN_AXIS, DP_AXIS, TP_AXIS, SP_AXIS)
+            if sp_size > 1
+            else (DCN_AXIS, DP_AXIS, TP_AXIS)
+        )
+        return Mesh(np.asarray(flat).reshape(shape), axes)
     n = len(devices)
     if dp_size == -1:
         if n % (tp_size * sp_size):
@@ -46,6 +109,20 @@ def make_mesh(
         return Mesh(grid, (DP_AXIS, TP_AXIS, SP_AXIS))
     grid = np.asarray(devices[: dp_size * tp_size]).reshape(dp_size, tp_size)
     return Mesh(grid, (DP_AXIS, TP_AXIS))
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the batch's leading (example) dim shards over: ``(dcn,
+    dp)`` on a multi-slice mesh, else ``(dp,)``. PartitionSpec accepts the
+    tuple directly as one dimension's sharding."""
+    if DCN_AXIS in mesh.shape:
+        return (DCN_AXIS, DP_AXIS)
+    return (DP_AXIS,)
+
+
+def data_parallel_size(mesh: Mesh) -> int:
+    """Total data-parallel degree (product over ``data_axes``)."""
+    return mesh.shape.get(DCN_AXIS, 1) * mesh.shape[DP_AXIS]
 
 
 # ---------------------------------------------------------------------------
@@ -79,12 +156,13 @@ _SP_FLAT_FIELDS = frozenset(
 
 def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding]:
     specs = {}
-    dp = mesh.shape[DP_AXIS]
+    dp = data_parallel_size(mesh)
+    dax = data_axes(mesh)
     sp = mesh.shape.get(SP_AXIS, 1)
     for k, v in batch.items():
         arr = np.asarray(v)
         if sp > 1 and arr.ndim > 0 and k in _SP_ROW_FIELDS:
-            lead = DP_AXIS if arr.shape[0] % dp == 0 else None
+            lead = dax if arr.shape[0] % dp == 0 else None
             row = (
                 SP_AXIS
                 if arr.ndim >= 2 and arr.shape[1] % sp == 0
@@ -96,9 +174,9 @@ def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding
             continue
         if sp > 1 and arr.ndim > 0 and k in _SP_FLAT_FIELDS:
             if arr.shape[0] % (dp * sp) == 0:
-                lead = (DP_AXIS, SP_AXIS)
+                lead = (*dax, SP_AXIS)
             elif arr.shape[0] % dp == 0:
-                lead = DP_AXIS
+                lead = dax
             elif arr.shape[0] % sp == 0:
                 lead = SP_AXIS
             else:
@@ -130,15 +208,17 @@ def batch_sharding(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, NamedSharding
             specs[k] = NamedSharding(mesh, P())
         else:
             specs[k] = NamedSharding(
-                mesh, P(DP_AXIS, *([None] * (arr.ndim - 1)))
+                mesh, P(dax, *([None] * (arr.ndim - 1)))
             )
     return specs
 
 
 def shard_stacked_batch(mesh: Mesh, stacked: Dict[str, Any]) -> Dict[str, jax.Array]:
     """Device-put a (k, ...)-stacked microbatch group: the scan axis k is
-    replicated, the per-batch leading dim (now axis 1) shards on dp."""
-    dp = mesh.shape[DP_AXIS]
+    replicated, the per-batch leading dim (now axis 1) shards on the data
+    axes ((dcn,) dp)."""
+    dp = data_parallel_size(mesh)
+    dax = data_axes(mesh)
     specs = {}
     for key, v in stacked.items():
         arr = np.asarray(v)
@@ -150,7 +230,7 @@ def shard_stacked_batch(mesh: Mesh, stacked: Dict[str, Any]) -> Dict[str, jax.Ar
             specs[key] = NamedSharding(mesh, P())
         else:
             specs[key] = NamedSharding(
-                mesh, P(None, DP_AXIS, *([None] * (arr.ndim - 2)))
+                mesh, P(None, dax, *([None] * (arr.ndim - 2)))
             )
     return jax.device_put(stacked, specs)
 
@@ -197,7 +277,10 @@ def param_sharding(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
     (ZeRO-3 style: each dp rank stores 1/dp of the weights + optimizer
     state; XLA/GSPMD inserts the per-layer all-gathers in forward/backward
     and the reduce-scatter on gradients automatically). tp rules win where
-    both apply; dims that don't divide stay replicated."""
+    both apply; dims that don't divide stay replicated. On a multi-slice
+    (dcn) mesh params never shard over dcn: fsdp's per-layer all-gathers
+    stay on intra-slice ICI, and each slice holds a full replica — only
+    the once-per-step grad reduction crosses DCN."""
 
     def path_str(path) -> str:
         parts = []

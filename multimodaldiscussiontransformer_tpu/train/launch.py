@@ -111,6 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
                         " for trees bigger than one chip")
     p.add_argument("--fsdp", action="store_true", default=False,
                    help="shard params + optimizer state over the dp axis")
+    p.add_argument("--num-slices", type=int, default=1,
+                   help="multi-slice pods: outermost dcn mesh axis, data "
+                        "parallel across slices over DCN; fsdp/tp/sp stay "
+                        "on intra-slice ICI (dp-size is then per slice)")
     # HF initialization (the reference downloads pretrained towers at model
     # build time, multigraphormer_graph_encoder.py:236-245)
     p.add_argument("--hf-init", action="store_true", default=False)
@@ -279,6 +283,7 @@ def config_from_args(args) -> "TrainConfig":
         dp_size=args.dp_size,
         tp_size=args.tp_size,
         sp_size=args.sp_size,
+        num_slices=args.num_slices,
         fsdp=args.fsdp,
         optim=OptimConfig(
             lr=args.lr,

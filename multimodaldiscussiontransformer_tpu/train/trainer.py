@@ -33,6 +33,7 @@ from multimodaldiscussiontransformer_tpu.data.dataset import (
 )
 from multimodaldiscussiontransformer_tpu.models.mdt import MDTModel
 from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+    data_parallel_size,
     make_mesh,
     shard_params,
 )
@@ -72,12 +73,16 @@ class Trainer:
             param_dtype=jnp.dtype(cfg.model.param_dtype),
         )
         self.criterion = criterion or self._build_criterion()
-        self.mesh = mesh or make_mesh(cfg.dp_size, cfg.tp_size, cfg.sp_size)
+        self.mesh = mesh or make_mesh(
+            cfg.dp_size, cfg.tp_size, cfg.sp_size,
+            num_slices=getattr(cfg, "num_slices", 1),
+        )
         self.image_shape = image_shape
         # global-batch semantics: the reference's --batch-size is per GPU
         # (run_train.sh:44, 8 GPUs -> global 96); mirror that as per-dp-
-        # replica so every batch is dp-divisible by construction
-        dp = self.mesh.shape["dp"]
+        # replica so every batch is dp-divisible by construction. On a
+        # multi-slice mesh dp is the joint (dcn x dp) degree.
+        dp = data_parallel_size(self.mesh)
         if cfg.data.batch_size_is_per_replica:
             self.global_batch_size = cfg.data.batch_size * dp
         else:
@@ -339,7 +344,7 @@ class Trainer:
             dataset, dataset.train_idx, self.cfg.data, self.cfg.task_cfg,
             epoch=epoch, shuffle=self.cfg.task_cfg.train_epoch_shuffle,
             contrastive=self.contrastive,
-            shard_multiple=self.mesh.shape["dp"],
+            shard_multiple=data_parallel_size(self.mesh),
             image_shape=self.image_shape,
             batch_size=self.global_batch_size,
         )
@@ -349,7 +354,7 @@ class Trainer:
         return iterate_batches(
             dataset, idx, self.cfg.data, self.cfg.task_cfg,
             epoch=1, shuffle=False, contrastive=self.contrastive,
-            shard_multiple=self.mesh.shape["dp"],
+            shard_multiple=data_parallel_size(self.mesh),
             image_shape=self.image_shape,
             drop_last=False,
             batch_size=self.global_batch_size,

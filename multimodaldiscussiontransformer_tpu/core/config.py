@@ -346,6 +346,12 @@ class DataConfig:
     # labelled-node capacity buckets for the loss
     label_capacity_buckets: Tuple[int, ...] = (8, 16, 32, 64, 128)
     drop_last: bool = True
+    # Grain collation worker PROCESSES (the reference's torch DataLoader
+    # ``--num-workers 8``, run_train.sh:31 + src/__init__.py:8). 0 = the
+    # in-process prefetch thread (data/loader.py) — enough for one chip;
+    # >0 routes batch production through data/grain_loader.py (identical
+    # order, items must be picklable).
+    num_workers: int = 0
 
 
 @dataclass(frozen=True)

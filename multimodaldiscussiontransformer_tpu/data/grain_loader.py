@@ -39,6 +39,13 @@ from multimodaldiscussiontransformer_tpu.parallel.input import (
     host_graph_slice,
 )
 
+try:  # grain is optional at import time; grain_batches requires it
+    import grain.python as _pg
+
+    _MapBase = _pg.MapTransform
+except Exception:  # pragma: no cover - grain present in the target env
+    _MapBase = object
+
 
 def batch_index_chunks(
     dataset: DiscussionDataset,
@@ -83,8 +90,10 @@ class _ChunkSource:
         return self._chunks[i]
 
 
-class _CollateChunk:
-    """Picklable per-batch work: load items for one chunk and collate."""
+class _CollateChunk(_MapBase):
+    """Picklable per-batch work: load items for one chunk and collate.
+    A grain MapTransform so the DataLoader applies it in worker
+    processes."""
 
     def __init__(
         self,
@@ -109,6 +118,9 @@ class _CollateChunk:
         self.host_index = host_index
         self.host_count = host_count
         self.global_batch = global_batch
+
+    def map(self, chunk: np.ndarray) -> Batch:
+        return self(chunk)
 
     def __call__(self, chunk: np.ndarray) -> Batch:
         if self.host_count > 1:
@@ -205,8 +217,11 @@ def grain_batches(
             shuffle=False,  # order was fixed by batch_index_chunks
             num_epochs=1,
         ),
-        operations=[pg.MapOperation(map_function=transform)],
+        operations=[transform],
         worker_count=worker_count,
-        read_options=pg.ReadOptions(prefetch_buffer_size=max(read_ahead, 1)),
+        read_options=pg.ReadOptions(
+            prefetch_buffer_size=max(read_ahead, 1),
+            num_threads=max(read_ahead, 1),  # reads are per-batch thunks
+        ),
     )
     yield from loader

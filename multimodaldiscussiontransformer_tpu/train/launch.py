@@ -102,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-interval-updates", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--wandb-project", default=os.environ.get("WANDB_PROJECT"))
+    p.add_argument("--tensorboard-logdir", default=None,
+                   help="fairseq-train --tensorboard-logdir surface")
     # mesh
     p.add_argument("--dp-size", type=int, default=-1)
     p.add_argument("--tp-size", type=int, default=1)
@@ -120,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hf-init", action="store_true", default=False)
     p.add_argument("--text-encoder", default="bert-base-uncased")
     p.add_argument("--image-encoder", default="google/vit-base-patch16-224")
+    # data loading (run_train.sh:31 --num-workers 8)
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="Grain collation worker processes (0 = in-process "
+                        "prefetch thread; the reference's torch DataLoader "
+                        "--num-workers surface)")
     # batching (TPU-native additions)
     p.add_argument("--length-grouped", action="store_true", default=False,
                    help="group similar-length discussions per batch")
@@ -147,6 +154,19 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="fused Pallas tree-attention kernel (default on; "
                         "--no-use-pallas-attention for the XLA path)")
+    # evaluation-only (the fairseq-validate entry of the consumed FairSeq
+    # CLI family, SURVEY.md §2.3): restore a checkpoint and score splits
+    p.add_argument("--eval-only", action="store_true", default=False,
+                   help="no training: restore (--restore-file, else "
+                        "--save-dir) and evaluate --valid-subset")
+    p.add_argument("--valid-subset", default="valid,test",
+                   help="comma-separated splits to score with --eval-only")
+    p.add_argument("--load-best", action="store_true", default=False,
+                   help="evaluate the tracked best checkpoint instead of "
+                        "the latest")
+    p.add_argument("--average-last", type=int, default=None,
+                   help="evaluate the average of the newest K checkpoints "
+                        "(scripts/average_checkpoints.py surface)")
     # smoke-run conveniences
     p.add_argument("--synthetic", action="store_true", default=False)
     p.add_argument("--synthetic-graphs", type=int, default=None,
@@ -239,6 +259,7 @@ def config_from_args(args) -> "TrainConfig":
     data = DataConfig(
         batch_size=args.batch_size,
         length_grouped=args.length_grouped,
+        num_workers=args.num_workers,
         node_buckets=ladder(args.node_buckets, DataConfig.node_buckets),
         node_capacity_buckets=ladder(
             args.node_capacity_buckets, DataConfig.node_capacity_buckets
@@ -257,6 +278,7 @@ def config_from_args(args) -> "TrainConfig":
         data = DataConfig(
             batch_size=args.batch_size,
             length_grouped=args.length_grouped,
+            num_workers=args.num_workers,
             max_text_len=16,
             node_buckets=(8, 16),
             node_capacity_buckets=(32, 64, 128),
@@ -380,6 +402,37 @@ def main(argv=None) -> int:
         state = trainer.load_params(state, params)
         print("initialized towers from HF checkpoints")
 
+    if args.eval_only:
+        from multimodaldiscussiontransformer_tpu.utils.checkpoints import (
+            _get,
+            average_checkpoints,
+        )
+
+        src = cfg.restore_file or cfg.save_dir
+        if args.average_last:
+            params = average_checkpoints(src, last_k=args.average_last)
+            state = trainer.load_params(state, params)
+            print(f"evaluating average of last {args.average_last} "
+                  f"checkpoints from {src}")
+        else:
+            rckpt = Checkpointer(src)
+            restored = rckpt.restore(state, best=args.load_best)
+            rckpt.close()
+            if restored is None:
+                print(f"error: no checkpoint under {src}", file=sys.stderr)
+                return 1
+            state = trainer.load_params(state, _get(restored, "params"))
+            print(f"evaluating {'best' if args.load_best else 'latest'} "
+                  f"checkpoint from {src}")
+        results = {}
+        for split in args.valid_subset.split(","):
+            split = split.strip()
+            if not len(getattr(dataset, f"{split}_idx")):
+                continue
+            results[split] = trainer.evaluate(state, dataset, split)
+            print(f"{split}:", json.dumps(results[split]))
+        return 0 if results else 1
+
     ckpt = Checkpointer(cfg.save_dir)
     if cfg.restore_file:
         restore_ckpt = Checkpointer(cfg.restore_file)
@@ -409,6 +462,7 @@ def main(argv=None) -> int:
     writer = MetricsWriter(
         cfg.save_dir, wandb_project=args.wandb_project,
         config=dataclasses.asdict(cfg),
+        tensorboard_logdir=args.tensorboard_logdir,
     )
     # Preemption handling (SURVEY §5 failure-detection row): TPU VMs get
     # SIGTERM with a short grace period before the maintenance event. The

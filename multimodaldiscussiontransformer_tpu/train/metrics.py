@@ -40,11 +40,17 @@ class MetricAccumulator:
 
 
 class MetricsWriter:
-    """Host-side metrics sink: JSONL always; W&B when available and
-    configured (replacement for the reference's --wandb-project,
-    run_train.sh:17-19,56)."""
+    """Host-side metrics sink: JSONL always; W&B and/or TensorBoard when
+    configured (the reference's --wandb-project, run_train.sh:17-19,56,
+    and fairseq-train's --tensorboard-logdir surface, SURVEY.md §2.3)."""
 
-    def __init__(self, save_dir: str, wandb_project: Optional[str] = None, config: Optional[dict] = None):
+    def __init__(
+        self,
+        save_dir: str,
+        wandb_project: Optional[str] = None,
+        config: Optional[dict] = None,
+        tensorboard_logdir: Optional[str] = None,
+    ):
         import os
 
         os.makedirs(save_dir, exist_ok=True)
@@ -57,6 +63,14 @@ class MetricsWriter:
                 self._wandb = wandb.init(project=wandb_project, config=config or {})
             except Exception:
                 self._wandb = None
+        self._tb = None
+        if tensorboard_logdir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=tensorboard_logdir)
+            except Exception:
+                self._tb = None
 
     def write(self, split: str, step: int, metrics: Dict[str, float]) -> None:
         import json
@@ -66,7 +80,15 @@ class MetricsWriter:
             f.write(json.dumps(rec) + "\n")
         if self._wandb is not None:
             self._wandb.log({f"{split}/{k}": v for k, v in metrics.items()}, step=step)
+        if self._tb is not None:
+            for k, v in metrics.items():
+                try:
+                    self._tb.add_scalar(f"{split}/{k}", float(v), step)
+                except (TypeError, ValueError):
+                    pass  # non-scalar extras stay JSONL-only
 
     def close(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()
+        if self._tb is not None:
+            self._tb.close()

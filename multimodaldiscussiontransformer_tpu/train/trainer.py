@@ -340,25 +340,41 @@ class Trainer:
     # -- loops -------------------------------------------------------------
 
     def train_batches(self, dataset: DiscussionDataset, epoch: int) -> Iterator:
-        return iterate_batches(
-            dataset, dataset.train_idx, self.cfg.data, self.cfg.task_cfg,
+        return self._batches(
+            dataset, dataset.train_idx,
             epoch=epoch, shuffle=self.cfg.task_cfg.train_epoch_shuffle,
-            contrastive=self.contrastive,
-            shard_multiple=data_parallel_size(self.mesh),
-            image_shape=self.image_shape,
-            batch_size=self.global_batch_size,
         )
 
     def eval_batches(self, dataset: DiscussionDataset, split: str = "valid") -> Iterator:
         idx = dataset.valid_idx if split == "valid" else dataset.test_idx
-        return iterate_batches(
-            dataset, idx, self.cfg.data, self.cfg.task_cfg,
-            epoch=1, shuffle=False, contrastive=self.contrastive,
+        return self._batches(
+            dataset, idx, epoch=1, shuffle=False,
+            drop_last=False, pad_tail_to_batch=True,
+        )
+
+    def _batches(self, dataset, idx, **kw) -> Iterator:
+        """Batch production: the in-process iterator by default, Grain
+        worker PROCESSES when ``data.num_workers > 0`` (the reference's
+        ``--num-workers 8`` torch DataLoader surface, run_train.sh:31) —
+        same order/shape contract either way (tests/test_grain_loader.py)."""
+        common = dict(
+            contrastive=self.contrastive,
             shard_multiple=data_parallel_size(self.mesh),
             image_shape=self.image_shape,
-            drop_last=False,
             batch_size=self.global_batch_size,
-            pad_tail_to_batch=True,
+            **kw,
+        )
+        if self.cfg.data.num_workers > 0:
+            from multimodaldiscussiontransformer_tpu.data.grain_loader import (
+                grain_batches,
+            )
+
+            return grain_batches(
+                dataset, idx, self.cfg.data, self.cfg.task_cfg,
+                worker_count=self.cfg.data.num_workers, **common,
+            )
+        return iterate_batches(
+            dataset, idx, self.cfg.data, self.cfg.task_cfg, **common,
         )
 
     def evaluate(self, state: TrainState, dataset: DiscussionDataset, split: str = "valid") -> Dict[str, float]:

@@ -131,6 +131,92 @@ class Checkpointer:
         self._best_manager.close()
 
 
+def average_checkpoints(
+    save_dir: str,
+    steps: Optional[list] = None,
+    last_k: Optional[int] = None,
+) -> Any:
+    """Average the ``params`` of several checkpoints in one save dir —
+    the FairSeq ``scripts/average_checkpoints.py`` tool re-provided (part
+    of the consumed FairSeq runtime surface, SURVEY.md §2.3; commonly run
+    over the last K epoch checkpoints before evaluation).
+
+    ``steps`` selects explicit steps; ``last_k`` takes the newest K;
+    default averages everything retained. Float leaves are averaged in
+    float64 and cast back to their original dtype; non-float leaves (none
+    in mDT params, but e.g. integer buffers in custom heads) are taken
+    from the newest checkpoint. Returns the averaged params pytree.
+    """
+    ckpt = Checkpointer(save_dir)
+    try:
+        avail = sorted(ckpt.manager.all_steps())
+        if not avail:
+            raise FileNotFoundError(f"no checkpoints under {save_dir}")
+        if steps is not None:
+            missing = [s for s in steps if s not in avail]
+            if missing:
+                raise ValueError(
+                    f"steps {missing} not in {save_dir} (available: {avail})"
+                )
+            chosen = sorted(int(s) for s in steps)
+        elif last_k is not None:
+            chosen = avail[-int(last_k):]
+        else:
+            chosen = avail
+
+        def params_of(restored):
+            if isinstance(restored, dict) and "params" in restored:
+                return restored["params"]
+            return getattr(restored, "params", restored)
+
+        acc = None
+        for s in chosen:
+            p = params_of(ckpt.restore_raw(step=s))
+            as64 = jax.tree.map(
+                lambda x: (
+                    np.asarray(x, np.float64)
+                    if np.issubdtype(np.asarray(x).dtype, np.floating)
+                    else np.asarray(x)
+                ),
+                p,
+            )
+            acc = (
+                as64
+                if acc is None
+                else jax.tree.map(
+                    lambda a, b: a + b if np.issubdtype(a.dtype, np.floating) else b,
+                    acc,
+                    as64,
+                )
+            )
+        newest = params_of(ckpt.restore_raw(step=chosen[-1]))
+        n = float(len(chosen))
+        return jax.tree.map(
+            lambda a, ref: (
+                (a / n).astype(np.asarray(ref).dtype)
+                if np.issubdtype(np.asarray(ref).dtype, np.floating)
+                else np.asarray(ref)
+            ),
+            acc,
+            newest,
+        )
+    finally:
+        ckpt.close()
+
+
+def save_params(save_dir: str, params: Any, step: int = 0) -> None:
+    """Write a params-only checkpoint loadable by ``restore_raw`` /
+    ``DiscussionScorer.from_checkpoint`` / ``--restore-file`` +
+    ``--reset-optimizer`` (the fine-tune-from-params path)."""
+    ckpt = Checkpointer(save_dir)
+    try:
+        host = _host_state({"params": params})
+        ckpt.manager.save(step, args=ckpt._ocp.args.StandardSave(host))
+        ckpt.wait()
+    finally:
+        ckpt.close()
+
+
 def _host_state(state) -> Any:
     """Materialize a device pytree on host for serialization."""
     return jax.tree.map(lambda x: np.asarray(x), jax.device_get(state))

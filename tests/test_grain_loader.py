@@ -224,3 +224,47 @@ def test_grain_multi_host_ragged_tail_without_pad_raises():
                 host_index=1, host_count=2,
             )
         )
+
+
+def test_trainer_num_workers_is_a_product_path(tmp_path):
+    """DataConfig.num_workers routes the Trainer's batch production through
+    Grain worker processes (the reference's --num-workers surface,
+    run_train.sh:31): identical batches, and a real train update runs."""
+    import dataclasses
+
+    from multimodaldiscussiontransformer_tpu.core.config import (
+        OptimConfig,
+        TrainConfig,
+        tiny_model_config,
+    )
+    from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+    )
+    from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
+
+    ds = synthetic_dataset(num_graphs=12, seed=7, **SYN)
+
+    def make(workers):
+        cfg = TrainConfig(
+            model=tiny_model_config(),
+            data=dataclasses.replace(DATA, num_workers=workers),
+            optim=OptimConfig(lr=1e-3, warmup_updates=2, total_num_update=20,
+                              update_freq=1),
+            task_cfg=TASK,
+            save_dir=str(tmp_path / f"w{workers}"),
+        )
+        return Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+
+    t0, t1 = make(0), make(1)
+    ref = list(t0.train_batches(ds, epoch=1))
+    got = list(t1.train_batches(ds, epoch=1))
+    assert len(ref) == len(got) >= 1
+    for a, b in zip(ref, got):
+        batches_equal(a, b)
+
+    state = t1.init_state(got[0].asdict())
+    step = t1._make_train_step()
+    with t1.mesh:
+        state, logs = step(state, shard_batch(t1.mesh, got[0].asdict()))
+    assert np.isfinite(float(np.asarray(logs["loss"])))

@@ -245,6 +245,20 @@ VARIANTS = {
     "uf3_scan_noremat": dict(remat=False, use_pallas=True, update_freq=3),
     "big_nodes128_pallas": dict(remat=True, use_pallas=True, max_nodes=128,
                                 node_cap=512, label_cap=256),
+    # one batch-36 step IS the canonical recipe's optimizer update: the
+    # scan path computes sum-of-grads / total-sample-size over 3 stacked
+    # microbatches of 12 (run_train.sh:44,65); a single batch of the same
+    # 36 graphs computes the identical quantity (modulo f32 reassociation)
+    # in one 3x-larger program — better MXU tiling, fewer per-step
+    # overheads, no trajectory change
+    "batch36_uf1": dict(remat=False, use_pallas=True, bf16_adam=True,
+                        batch=36, node_cap=768, img_cap=192, label_cap=384),
+    "batch36_uf1_dots": dict(remat=True, remat_policy="dots_saveable",
+                             use_pallas=True, bf16_adam=True, batch=36,
+                             node_cap=768, img_cap=192, label_cap=384),
+    # apples-to-apples for the above: the shipped recipe path w/ bf16 adam
+    "uf3_scan_bf16adam": dict(remat=False, use_pallas=True, bf16_adam=True,
+                              update_freq=3),
     "big_nodes256": dict(remat=True, use_pallas=False, max_nodes=256,
                          node_cap=512, label_cap=256, batch=8,
                          min_window_sec=8.0),

@@ -404,6 +404,14 @@ class TrainConfig:
     # updates (0 = off). Defaults match fairseq's (1 / 0).
     save_interval: int = 1
     save_interval_updates: int = 0
+    # Capture a jax.profiler device trace (XProf/Perfetto) of a few steady
+    # -state optimizer updates into this directory, then keep training —
+    # the SURVEY §5 tracing story as a one-flag CLI surface
+    # (--profile-trace). Starts AFTER profile_trace_start updates so the
+    # first-step compile never pollutes the trace.
+    profile_trace_dir: Optional[str] = None
+    profile_trace_steps: int = 5
+    profile_trace_start: int = 2
     restore_file: Optional[str] = None
     reset_optimizer: bool = False
     seed: int = 1

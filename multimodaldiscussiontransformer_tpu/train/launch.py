@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb-project", default=os.environ.get("WANDB_PROJECT"))
     p.add_argument("--tensorboard-logdir", default=None,
                    help="fairseq-train --tensorboard-logdir surface")
+    # tracing/profiling (SURVEY §5): capture a device trace of a few
+    # steady-state updates, then keep training
+    p.add_argument("--profile-trace", default=None,
+                   help="directory for a jax.profiler trace "
+                        "(XProf/Perfetto) of steady-state train updates")
+    p.add_argument("--profile-steps", type=int, default=5)
     # mesh
     p.add_argument("--dp-size", type=int, default=-1)
     p.add_argument("--tp-size", type=int, default=1)
@@ -294,6 +300,8 @@ def config_from_args(args) -> "TrainConfig":
         save_interval=args.save_interval,
         save_interval_updates=args.save_interval_updates,
         save_dir=args.save_dir,
+        profile_trace_dir=args.profile_trace,
+        profile_trace_steps=args.profile_steps,
         restore_file=args.restore_file,
         reset_optimizer=args.reset_optimizer,
         seed=args.seed,

@@ -453,6 +453,35 @@ class Trainer:
         window_t0 = time.perf_counter()
         window_graphs = 0
 
+        # --profile-trace: capture a device trace of a few steady-state
+        # updates (starts after profile_trace_start so compile stays out)
+        prof = {"active": False, "done": cfg.profile_trace_dir is None,
+                "start": 0}
+
+        def maybe_profile(num_updates, logs):
+            if prof["done"]:
+                return
+            if not prof["active"]:
+                if num_updates >= cfg.profile_trace_start:
+                    import os
+
+                    os.makedirs(cfg.profile_trace_dir, exist_ok=True)
+                    jax.profiler.start_trace(cfg.profile_trace_dir)
+                    prof["active"] = True
+                    prof["start"] = num_updates
+            elif num_updates >= prof["start"] + cfg.profile_trace_steps:
+                finish_profile(logs)
+
+        def finish_profile(logs=None):
+            if not prof["active"]:
+                prof["done"] = True
+                return
+            if logs is not None:  # fence: traced work must have executed
+                jax.device_get(logs["loss"])
+            jax.profiler.stop_trace()
+            prof["active"], prof["done"] = False, True
+            log_fn(f"profile trace written to {cfg.profile_trace_dir}")
+
         from multimodaldiscussiontransformer_tpu.data.loader import (
             prefetch_to_device,
         )
@@ -547,6 +576,7 @@ class Trainer:
                         micro_steps += 1
                         num_updates = micro_steps // k
                         window_graphs += int(jb["idx"].shape[0])
+                    maybe_profile(num_updates, logs)
                     if num_updates - last_logged >= cfg.log_interval:
                         last_logged = num_updates
                         m = acc.reduce()
@@ -587,6 +617,7 @@ class Trainer:
                         last_saved = num_updates
                         checkpointer.save(state, num_updates)
                     if max_updates is not None and num_updates >= max_updates:
+                        finish_profile(logs)
                         if checkpointer is not None:
                             checkpointer.save(state, num_updates)
                         return state
@@ -595,6 +626,7 @@ class Trainer:
                     # return — auto-resume (launch.py restore-from-latest +
                     # the mid-epoch skip above) continues the run exactly
                     if should_stop is not None and should_stop():
+                        finish_profile(logs)
                         log_fn(
                             f"stop requested at update {num_updates}: "
                             "checkpointing and exiting"
@@ -613,4 +645,5 @@ class Trainer:
                     or epoch == max_epoch
                 ):
                     checkpointer.save(state, num_updates)
+            finish_profile()
         return state

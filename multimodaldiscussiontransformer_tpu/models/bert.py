@@ -114,12 +114,16 @@ class SelfAttention(nn.Module):
         )
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         # dropout needs the TPU PRNG — off-TPU the XLA + FastDropout path
-        # below is the (numerically equivalent in distribution) fallback
+        # below is the (numerically equivalent in distribution) fallback.
+        # Past the kernel's whole-S VMEM bound the same fallback applies:
+        # masked_attention would reject the dropout call rather than
+        # silently spill (ops/masked_attention.py::_MAX_WHOLE_S).
         kernel_ok = (
             self.use_pallas
             and key_only
             and b > 0
             and (on_tpu or (ma.FORCE_KERNEL and not drop))
+            and (s <= ma._MAX_WHOLE_S or not drop)
         )
         if kernel_ok:
             kmask = (

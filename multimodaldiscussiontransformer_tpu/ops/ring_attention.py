@@ -136,15 +136,15 @@ def _sp_shard_spec():
     """If tracing inside a mesh with an 'sp' axis (> 1), return
     (mesh, sp_size); else None — the ambient-mesh probe that lets the model
     route attention through the ring without threading a Mesh object
-    through module configs (same idiom as tree_attention._dp_shard_spec)."""
-    try:
-        from jax.sharding import get_abstract_mesh
+    through module configs (same idiom as tree_attention._dp_shard_spec;
+    sees both set_mesh and classic ``with mesh:`` contexts)."""
+    from multimodaldiscussiontransformer_tpu.ops.tree_attention import (
+        ambient_mesh,
+    )
 
-        mesh = get_abstract_mesh()
-        if mesh is not None and "sp" in mesh.shape and mesh.shape["sp"] > 1:
-            return mesh, mesh.shape["sp"]
-    except Exception:
-        pass
+    mesh = ambient_mesh()
+    if mesh is not None and "sp" in mesh.shape and mesh.shape["sp"] > 1:
+        return mesh, mesh.shape["sp"]
     return None
 
 
@@ -206,6 +206,15 @@ def ring_tree_attention_dispatch(
     ).reshape(())
 
     def local(q_, k_, v_, t_, i_, l_, sd_):
+        if dropout_seed is not None and bax:
+            # decorrelate masks across dp/dcn batch shards (the seed is
+            # replicated and the local ring only folds in the sp index) —
+            # same recipe as tree_attention's _shard_linear_index offset
+            from multimodaldiscussiontransformer_tpu.ops.tree_attention import (
+                _shard_linear_index,
+            )
+
+            sd_ = sd_ + _shard_linear_index(mesh, bax) * jnp.int32(1000003)
         return ring_tree_attention_local(
             q_, k_, v_, t_, i_, l_,
             axis_name="sp",

@@ -1540,31 +1540,54 @@ def tree_attention_dropout_dispatch(
     return impl(q, k, v, template, ids, lut, seed)
 
 
+def ambient_mesh():
+    """The mesh in scope for kernel dispatch, or None.
+
+    Covers BOTH mesh-context idioms: ``jax.sharding.set_mesh`` (populates
+    the abstract mesh visible via get_abstract_mesh) and the classic
+    ``with mesh:`` context manager the Trainer/bench/scorer use (which
+    only sets the legacy thread-resources physical mesh — without this
+    fallback, dispatch probes would silently return None through the
+    entire product path and GSPMD would replicate the unpartitionable
+    Pallas custom calls on multi-chip meshes)."""
+    try:
+        from jax.sharding import get_abstract_mesh
+
+        mesh = get_abstract_mesh()
+        if mesh is not None and mesh.shape:
+            return mesh
+    except Exception:
+        pass
+    try:
+        from jax._src import mesh as mesh_lib
+
+        pm = mesh_lib.thread_resources.env.physical_mesh
+        if pm is not None and not pm.empty:
+            return pm
+    except Exception:
+        pass
+    return None
+
+
 def _dp_shard_spec():
     """If tracing inside a multi-device mesh with data-parallel axes,
     return (mesh, total_dp_size, axes) where ``axes`` is the tuple of
     batch-sharding mesh axes (('dcn', 'dp') on a multi-slice mesh, else
     ('dp',)); else None. Used to shard_map the kernel over the batch axis
     instead of letting GSPMD replicate an unpartitionable custom call."""
-    try:
-        from jax.sharding import get_abstract_mesh
-
-        mesh = get_abstract_mesh()
-        if mesh is None or "dp" not in mesh.shape:
-            return None
-        axes = tuple(
-            a for a in ("dcn", "dp")
-            if a in mesh.shape and mesh.shape[a] > 1
-        )
-        if not axes:
-            return None
-        total = 1
-        for a in axes:
-            total *= mesh.shape[a]
-        return mesh, total, axes
-    except Exception:
-        pass
-    return None
+    mesh = ambient_mesh()
+    if mesh is None or "dp" not in mesh.shape:
+        return None
+    axes = tuple(
+        a for a in ("dcn", "dp")
+        if a in mesh.shape and mesh.shape[a] > 1
+    )
+    if not axes:
+        return None
+    total = 1
+    for a in axes:
+        total *= mesh.shape[a]
+    return mesh, total, axes
 
 
 def _shard_linear_index(mesh, axes) -> jnp.ndarray:

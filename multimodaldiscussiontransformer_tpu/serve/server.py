@@ -69,13 +69,20 @@ class BatchingScorer:
         self.max_batch = int(max_batch)
         self.max_wait = max(float(max_wait_ms), 0.0) / 1e3
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def score_items(self, items: Sequence) -> List[np.ndarray]:
+        if self._closed:
+            raise RuntimeError("BatchingScorer is closed")
         req = _Pending(items)
         self._queue.put(req)
-        req.done.wait()
+        # liveness-checked wait: a request racing close() past the flag
+        # check above must not block forever once the worker has exited
+        while not req.done.wait(timeout=0.5):
+            if self._closed and not self._worker.is_alive():
+                raise RuntimeError("BatchingScorer closed while pending")
         if req.error is not None:
             raise req.error
         return req.result
@@ -84,8 +91,19 @@ class BatchingScorer:
         return self.score_items([discussion.to_item()])[0]
 
     def close(self) -> None:
+        self._closed = True
         self._queue.put(None)
         self._worker.join(timeout=10)
+        # a request that raced the close sentinel into the queue would
+        # otherwise block its caller forever (the worker has exited)
+        while True:
+            try:
+                straggler = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if straggler is not None:
+                straggler.error = RuntimeError("BatchingScorer is closed")
+                straggler.done.set()
 
     # -- batching loop ------------------------------------------------------
 

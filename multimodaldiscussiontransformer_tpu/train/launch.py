@@ -417,7 +417,7 @@ def main(argv=None) -> int:
         )
 
         src = cfg.restore_file or cfg.save_dir
-        if args.average_last:
+        if args.average_last is not None:
             params = average_checkpoints(src, last_k=args.average_last)
             state = trainer.load_params(state, params)
             print(f"evaluating average of last {args.average_last} "
@@ -435,6 +435,10 @@ def main(argv=None) -> int:
         results = {}
         for split in args.valid_subset.split(","):
             split = split.strip()
+            if split not in ("valid", "test"):
+                print(f"error: unknown split {split!r} (valid,test)",
+                      file=sys.stderr)
+                return 1
             if not len(getattr(dataset, f"{split}_idx")):
                 continue
             results[split] = trainer.evaluate(state, dataset, split)

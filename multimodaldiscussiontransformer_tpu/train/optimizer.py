@@ -134,6 +134,45 @@ def trainable_mask(params: Any, freeze_initial_encoders: bool) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+# Shared freeze semantics for every train-step builder (scan and non-scan
+# must never diverge — the step builders in train/trainer.py both route
+# through these):
+
+
+def freeze_stop_gradients(params: Any, labels: Any) -> Any:
+    """Frozen bottom towers (--freeze-initial-encoders, run_train.sh:53)
+    carry NO gradient: stop_gradient at the leaves makes autodiff treat the
+    whole frozen compute as constant at trace time — no weight grads, no
+    cotangent flow below the lowest trainable layer, exactly like the
+    reference's requires_grad=False modules."""
+    return jax.tree.map(
+        lambda p, l: jax.lax.stop_gradient(p) if l == "freeze" else p,
+        params, labels,
+    )
+
+
+def apply_updates_trainable(params: Any, updates: Any, labels: Any) -> Any:
+    """optax.apply_updates, skipping frozen leaves (no zero-add traffic)."""
+    return jax.tree.map(
+        lambda p, u, l: p if l == "freeze" else p + u.astype(p.dtype),
+        params, updates, labels,
+    )
+
+
+def trainable_gnorm(grads: Any, labels: Any) -> jnp.ndarray:
+    """FairSeq reports gnorm over grad-carrying params only (frozen modules
+    have requires_grad=False and contribute nothing)."""
+    return jax.lax.stop_gradient(
+        jnp.sqrt(
+            sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g, l in zip(jax.tree.leaves(grads), jax.tree.leaves(labels))
+                if l == "train"
+            )
+        )
+    )
+
+
 def make_optimizer(
     cfg: OptimConfig,
     params: Any,

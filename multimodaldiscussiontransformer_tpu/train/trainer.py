@@ -42,7 +42,10 @@ from multimodaldiscussiontransformer_tpu.train.metrics import (
     MetricsWriter,
 )
 from multimodaldiscussiontransformer_tpu.train.optimizer import (
+    apply_updates_trainable,
+    freeze_stop_gradients,
     make_optimizer,
+    trainable_gnorm,
     trainable_mask,
 )
 
@@ -180,20 +183,9 @@ class Trainer:
                 )
 
             def loss_fn(params):
-                # frozen bottom towers (--freeze-initial-encoders,
-                # run_train.sh:53) carry NO gradient: stop_gradient at the
-                # leaves makes autodiff treat the whole bottom-tower
-                # compute as constant at trace time — no weight grads, no
-                # cotangent flow below the lowest trainable layer, exactly
-                # like the reference's requires_grad=False modules
-                params = jax.tree.map(
-                    lambda p, l: jax.lax.stop_gradient(p)
-                    if l == "freeze" else p,
-                    params, labels,
-                )
                 out = model.apply(
-                    params, batch, deterministic=False,
-                    rngs={"dropout": step_rng},
+                    freeze_stop_gradients(params, labels), batch,
+                    deterministic=False, rngs={"dropout": step_rng},
                 )
                 loss, sample_size, logs = criterion(out, batch)
                 denom = jnp.maximum(sample_size.astype(jnp.float32), 1.0)
@@ -201,26 +193,11 @@ class Trainer:
 
             (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = jax.tree.map(
-                lambda p, u, l: p if l == "freeze" else p + u.astype(p.dtype),
-                state.params, updates, labels,
-            )
+            params = apply_updates_trainable(state.params, updates, labels)
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state, rng=rng
             )
-            # FairSeq reports gnorm over grad-carrying params only (frozen
-            # modules have requires_grad=False and contribute nothing)
-            logs["gnorm"] = jax.lax.stop_gradient(
-                jnp.sqrt(
-                    sum(
-                        jnp.sum(jnp.square(g.astype(jnp.float32)))
-                        for g, l in zip(
-                            jax.tree.leaves(grads), jax.tree.leaves(labels)
-                        )
-                        if l == "train"
-                    )
-                )
-            )
+            logs["gnorm"] = trainable_gnorm(grads, labels)
             return new_state, logs
 
         return train_step
@@ -264,17 +241,9 @@ class Trainer:
                     )
 
                 def loss_fn(params):
-                    # see _make_train_step: frozen towers are constants to
-                    # autodiff (no weight grads, no cotangents below the
-                    # lowest trainable layer)
-                    params = jax.tree.map(
-                        lambda p, l: jax.lax.stop_gradient(p)
-                        if l == "freeze" else p,
-                        params, labels,
-                    )
                     out = model.apply(
-                        params, batch_i, deterministic=False,
-                        rngs={"dropout": use},
+                        freeze_stop_gradients(params, labels), batch_i,
+                        deterministic=False, rngs={"dropout": use},
                     )
                     loss, sample_size, logs = criterion(out, batch_i)
                     return loss, (sample_size, logs)  # summed, unnormalized
@@ -300,10 +269,7 @@ class Trainer:
                 gacc, labels,
             )
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = jax.tree.map(
-                lambda p, u, l: p if l == "freeze" else p + u.astype(p.dtype),
-                state.params, updates, labels,
-            )
+            params = apply_updates_trainable(state.params, updates, labels)
             new_state = state.replace(
                 step=state.step + k, params=params, opt_state=opt_state,
                 rng=rng,
@@ -311,17 +277,7 @@ class Trainer:
             logs = jax.tree.map(lambda x: jnp.sum(x, axis=0), logs_stack)
             if return_grads:
                 logs["grads"] = grads
-            logs["gnorm"] = jax.lax.stop_gradient(
-                jnp.sqrt(
-                    sum(
-                        jnp.sum(jnp.square(g.astype(jnp.float32)))
-                        for g, l in zip(
-                            jax.tree.leaves(grads), jax.tree.leaves(labels)
-                        )
-                        if l == "train"
-                    )
-                )
-            )
+            logs["gnorm"] = trainable_gnorm(grads, labels)
             return new_state, logs
 
         return train_step
@@ -495,10 +451,18 @@ class Trainer:
             if cfg.data.drop_last
             else 0
         )
+        # In scan mode a ragged epoch tail is padded to a full group of k
+        # (pad_tail below), and the step counts all k pad-or-real
+        # microbatches — so an epoch consumes ceil(bpe/k)*k micro_steps,
+        # not bpe. Resume math must use the same per-epoch stride or a
+        # completed-epochs checkpoint looks mid-epoch and skips fresh data.
+        micro_per_epoch = (
+            ((bpe + k - 1) // k) * k if scan_mode and bpe > 0 else bpe
+        )
         skip_batches = 0
-        if bpe > 0:
-            consumed = micro_steps - (start_epoch - 1) * bpe
-            if 0 < consumed < bpe:
+        if micro_per_epoch > 0:
+            consumed = micro_steps - (start_epoch - 1) * micro_per_epoch
+            if 0 < consumed < micro_per_epoch:
                 skip_batches = consumed
         from multimodaldiscussiontransformer_tpu.data.loader import (
             ThreadedPrefetcher,

@@ -160,6 +160,8 @@ def average_checkpoints(
                 )
             chosen = sorted(int(s) for s in steps)
         elif last_k is not None:
+            if int(last_k) <= 0:
+                raise ValueError(f"last_k must be positive, got {last_k}")
             chosen = avail[-int(last_k):]
         else:
             chosen = avail

@@ -87,3 +87,42 @@ def test_ring_gradients_match_reference():
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
             err_msg=f"d{name}",
         )
+
+
+def test_ring_dropout_decorrelated_across_dp_shards():
+    """With the batch sharded over dp, identical rows on different dp
+    shards must receive DIFFERENT in-ring dropout masks (the replicated
+    seed gets a per-shard offset — same contract as
+    tree_attention_dropout_dispatch's _shard_linear_index offset)."""
+    from multimodaldiscussiontransformer_tpu.ops.ring_attention import (
+        ring_tree_attention_dispatch,
+    )
+
+    mesh = make_mesh(2, 1, 4)  # dp=2 x sp=4
+    q, k, v, template, ids, lut = _inputs(5, b=1, h=2, s=32, dh=8)
+    # batch of two IDENTICAL rows -> dp shard 0 and shard 1 see the same data
+    q2, k2, v2 = (jnp.tile(x, (2, 1, 1, 1)) for x in (q, k, v))
+    t2, i2 = jnp.tile(template, (2, 1, 1)), jnp.tile(ids, (2, 1, 1))
+    scale = q.shape[-1] ** -0.5
+
+    # like the model path, the dispatch runs under jit (the ambient-mesh
+    # probe reads the abstract mesh during tracing)
+    dropped = jax.jit(
+        lambda *xs: ring_tree_attention_dispatch(
+            *xs, scale=scale,
+            dropout_seed=jnp.asarray(7, jnp.int32), dropout_rate=0.4,
+        )
+    )
+    plain = jax.jit(
+        lambda *xs: ring_tree_attention_dispatch(*xs, scale=scale)
+    )
+    with mesh:
+        drop = dropped(q2, k2, v2, t2, i2, lut)
+        nodrop = plain(q2, k2, v2, t2, i2, lut)
+    drop, nodrop = np.asarray(drop), np.asarray(nodrop)
+    # dropout actually perturbed something
+    assert not np.allclose(drop[0], nodrop[0])
+    # identical inputs on different dp shards -> different masks
+    assert not np.allclose(drop[0], drop[1])
+    # the no-dropout path stays shard-invariant
+    np.testing.assert_allclose(nodrop[0], nodrop[1], rtol=1e-5, atol=1e-5)

@@ -365,3 +365,81 @@ def test_stack_microbatches_pads_mixed_shapes_inertly():
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=2e-4, atol=1e-6,
         )
+
+
+def test_resume_after_completed_epochs_skips_nothing(tmp_path):
+    """Resume math must use the scan mode's per-epoch microbatch stride
+    ceil(bpe/k)*k (the padded tail group counts k), not bpe: a checkpoint
+    taken at an epoch boundary with bpe % k != 0 must NOT look mid-epoch
+    (that would silently skip fresh groups of the next epoch)."""
+    cfg = make_cfg(
+        optim=OptimConfig(
+            lr=1e-3, warmup_updates=2, total_num_update=50, update_freq=2,
+            scan_microbatches=True,
+        ),
+        save_dir=str(tmp_path / "ck"),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=16, seed=11, **SYN)  # 12 train
+    bpe = len(ds.train_idx) // cfg.data.batch_size
+    assert bpe == 3 and bpe % 2 == 1  # ragged tail: 2 groups, 4 micro/epoch
+
+    batches = list(trainer.train_batches(ds, epoch=3))
+    state = trainer.init_state(batches[0].asdict())
+    # two COMPLETED epochs: 2 groups x k=2 each (tail group padded to k)
+    state = state.replace(
+        step=jnp.asarray(2 * 4, jnp.int32), epoch=jnp.asarray(2, jnp.int32)
+    )
+
+    consumed = []
+    orig_step = trainer._make_train_step_scan()
+
+    def counting_step(st, jb):
+        consumed.append(int(jb["idx"].shape[1]))  # (k, B) leading dims
+        return orig_step(st, jb)
+
+    trainer._train_step = counting_step
+    trainer.fit(ds, state=state, max_epoch=3)
+    # ALL of epoch 3's groups must run (pre-fix: consumed=8-2*3=2 looked
+    # mid-epoch and the first group was skipped)
+    assert len(consumed) == 2
+
+
+def test_mid_epoch_resume_in_scan_mode_skips_consumed_groups(tmp_path):
+    """A mid-epoch scan-mode checkpoint resumes at the next GROUP."""
+    cfg = make_cfg(
+        optim=OptimConfig(
+            lr=1e-3, warmup_updates=2, total_num_update=50, update_freq=2,
+            scan_microbatches=True,
+        ),
+        save_dir=str(tmp_path / "ck"),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1), image_shape=IMG)
+    ds = synthetic_dataset(num_graphs=16, seed=12, **SYN)
+
+    batches = list(trainer.train_batches(ds, epoch=2))
+    state = trainer.init_state(batches[0].asdict())
+    # epoch 1 complete (4 micro) + the first group of epoch 2 (2 micro)
+    state = state.replace(
+        step=jnp.asarray(4 + 2, jnp.int32), epoch=jnp.asarray(1, jnp.int32)
+    )
+
+    seen_first_idx = []
+    orig_step = trainer._make_train_step_scan()
+
+    def counting_step(st, jb):
+        seen_first_idx.append(np.asarray(jb["idx"])[0, 0])
+        return orig_step(st, jb)
+
+    trainer._train_step = counting_step
+    trainer.fit(ds, state=state, max_epoch=2)
+    # exactly one group remains in epoch 2, and it is the SECOND group
+    assert len(seen_first_idx) == 1
+    from multimodaldiscussiontransformer_tpu.data.loader import (
+        stack_microbatches,
+    )
+
+    groups = list(
+        stack_microbatches(trainer.train_batches(ds, 2), 2, pad_tail=True)
+    )
+    assert seen_first_idx[0] == np.asarray(groups[1]["idx"])[0, 0]

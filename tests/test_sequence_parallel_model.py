@@ -189,3 +189,32 @@ def test_sp_scorer_matches_plain_scorer(setup):
     p_sp = sharded.score_items([item])[0]
     assert p_sp.shape == (N_NODES, 2)
     np.testing.assert_allclose(p_sp, p_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sp_path_is_not_vacuous(setup):
+    """The sequence_parallel model must ACTUALLY route through the ring
+    dispatch under the classic ``with mesh:`` context the Trainer and
+    DiscussionScorer use — guards the ambient-mesh probe
+    (ops/tree_attention.py::ambient_mesh): with a probe that only sees
+    set_mesh contexts, every test above would pass vacuously on the
+    regular attention path."""
+    batch, model, model_sp, params, mesh = setup
+    from multimodaldiscussiontransformer_tpu.ops import ring_attention as ra
+
+    calls = []
+    orig = ra.ring_tree_attention_dispatch
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    ra.ring_tree_attention_dispatch = counting
+    try:
+        with mesh:
+            sb = shard_batch(mesh, batch.asdict())
+            jax.jit(
+                lambda p, b: model_sp.apply(p, b, deterministic=True).logits
+            )(params, sb)
+    finally:
+        ra.ring_tree_attention_dispatch = orig
+    assert calls, "sp model fell through to regular attention"

@@ -117,11 +117,38 @@ class Discussion:
         )
 
 
+def _batch_bucket(n: int, buckets) -> int:
+    """Round a request-batch size up to its ladder entry.
+
+    ``"pow2"`` (the default ladder) -> next power of two; an explicit tuple
+    -> smallest entry >= n; ``None`` -> n (no padding)."""
+    if buckets is None:
+        return n
+    if buckets == "pow2":
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+    for b in sorted(buckets):
+        if b >= n:
+            return int(b)
+    raise ValueError(
+        f"request batch {n} exceeds the largest batch bucket {max(buckets)}"
+    )
+
+
 class DiscussionScorer:
     """Scores (and re-scores) discussions with a trained mDT model.
 
-    One jit-compiled program per (node-bucket, capacity) signature; growing
-    trees hit the compile cache until they cross a bucket boundary."""
+    One jit-compiled program per (node-bucket, capacity, batch-bucket)
+    signature; growing trees hit the compile cache until they cross a
+    bucket boundary. Request batches are padded up the ``batch_buckets``
+    ladder with the collator's inert zero-node pad graphs
+    (``collate(pad_to_graphs=...)``) so coalesced serving batches
+    (serve/server.py::BatchingScorer drains 1..max_batch requests) reuse a
+    handful of compiled programs instead of one per distinct size; real
+    items' probabilities are unchanged (padding-invariance contract,
+    tests/test_serve.py::test_batch_bucket_padding_is_inert)."""
 
     def __init__(
         self,
@@ -131,13 +158,17 @@ class DiscussionScorer:
         task_cfg: Optional[TaskConfig] = None,
         image_shape=(3, 224, 224),
         mesh=None,
+        batch_buckets="pow2",
     ):
         """``mesh``: optional device mesh for sharded serving. A mesh with
         an 'sp' axis (``parallel.mesh.make_mesh(sp_size>1)``) plus a model
         whose config sets ``sequence_parallel=True`` scores GIANT trees —
         the node axis and its O(S^2) bias shard 1/sp per chip and attention
         runs as a ring over ICI (ops/ring_attention.py), so discussions far
-        past one chip's HBM re-score through the same API."""
+        past one chip's HBM re-score through the same API.
+
+        ``batch_buckets``: ``"pow2"`` (default), an explicit ascending
+        tuple, or ``None`` to disable request-batch padding."""
         import jax
 
         self.model = model
@@ -146,6 +177,7 @@ class DiscussionScorer:
         self.task_cfg = task_cfg or TaskConfig()
         self.image_shape = image_shape
         self.mesh = mesh
+        self.batch_buckets = batch_buckets
         self._apply = jax.jit(
             lambda p, b: self.model.apply(p, b, deterministic=True).logits
         )
@@ -193,8 +225,11 @@ class DiscussionScorer:
         import jax
         import jax.numpy as jnp
 
+        items = list(items)
+        target = _batch_bucket(len(items), self.batch_buckets)
         batch = collate(
             list(items),
+            pad_to_graphs=target,
             spatial_pos_max=self.task_cfg.spatial_pos_max,
             node_buckets=self.data_cfg.node_buckets,
             node_capacity_buckets=self.data_cfg.node_capacity_buckets,
@@ -219,7 +254,7 @@ class DiscussionScorer:
         probs /= probs.sum(-1, keepdims=True)
         out = []
         off = 0
-        for it in items:
+        for it in items:  # pad graphs hold no flat node rows
             out.append(probs[off : off + it.num_nodes])
             off += it.num_nodes
         return out

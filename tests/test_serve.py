@@ -160,3 +160,53 @@ def test_scoring_through_flash_path(monkeypatch):
     assert probs.shape == (20, cfg.num_classes)
     assert np.isfinite(probs).all()
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
+
+
+def test_batch_bucket_padding_is_inert():
+    """Request-batch bucketing: a 3-discussion request pads to the
+    4-bucket with zero-node pad graphs; every real item's probabilities
+    match its solo (batch-bucket 1) score to padding-invariance tolerance
+    (shape changes reassociate XLA reductions), and distinct request
+    sizes inside one bucket share a compiled program signature."""
+    from multimodaldiscussiontransformer_tpu.serve.incremental import (
+        _batch_bucket,
+    )
+
+    assert [_batch_bucket(n, "pow2") for n in (1, 2, 3, 4, 5, 16)] == [
+        1, 2, 4, 4, 8, 16]
+    assert _batch_bucket(3, (2, 6)) == 6
+    assert _batch_bucket(7, None) == 7
+
+    scorer = make_scorer()
+    rng = np.random.RandomState(0)
+    discs = []
+    for n_nodes in (1, 3, 2):
+        d = Discussion()
+        d.add_node(-1, rng.randint(1, 40, 12).astype(np.int32))
+        for i in range(1, n_nodes):
+            d.add_node(int(rng.randint(0, i)),
+                       rng.randint(1, 40, 12).astype(np.int32))
+        discs.append(d)
+    items = [d.to_item(i) for i, d in enumerate(discs)]
+
+    batched = scorer.score_items(items)  # 3 -> padded to 4
+    solo = [scorer.score(d) for d in discs]
+    for got, want in zip(batched, solo):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # sizes 3 and 4 collate to the same static shape (one program)
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+
+    shapes = []
+    for reqs in (items[:1] * 3, items[:1] * 4):
+        b = collate(
+            list(reqs),
+            pad_to_graphs=_batch_bucket(len(reqs), "pow2"),
+            node_buckets=scorer.data_cfg.node_buckets,
+            node_capacity_buckets=scorer.data_cfg.node_capacity_buckets,
+            image_capacity_buckets=scorer.data_cfg.image_capacity_buckets,
+            label_capacity_buckets=scorer.data_cfg.label_capacity_buckets,
+            image_shape=IMG,
+        )
+        shapes.append({k: v.shape for k, v in b.asdict().items()})
+    assert shapes[0] == shapes[1]

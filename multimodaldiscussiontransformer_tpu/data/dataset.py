@@ -139,6 +139,17 @@ def iterate_batches(
         if len(chunk) == 0:
             continue
         items = [dataset.get(int(i)) for i in chunk]
+        over = [
+            (int(i), it.num_nodes)
+            for i, it in zip(chunk, items)
+            if it.num_nodes > task_cfg.max_nodes
+        ]
+        if over:
+            raise ValueError(
+                f"graph(s) exceed task.max_nodes={task_cfg.max_nodes} "
+                f"(idx, nodes): {over[:5]} — the reference's --max-nodes "
+                "bound (task.py:41-44); raise --max-nodes or prune the trees"
+            )
         yield collate(
             items,
             pad_to_graphs=bs if pad_tail_to_batch else None,

@@ -257,6 +257,10 @@ def main(argv=None) -> int:
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--latest", action="store_true", default=False,
                    help="serve the latest checkpoint instead of the best")
+    p.add_argument("--batch-buckets", default="pow2",
+                   help="request-batch size ladder: 'pow2' (default), a "
+                        "comma list like '4,8,16', or 'none' to disable "
+                        "batch padding (one compiled program per size)")
     p.add_argument("--verbose", action="store_true", default=False)
     args = p.parse_args(argv)
 
@@ -265,8 +269,13 @@ def main(argv=None) -> int:
     )
 
     enable_compilation_cache()
+    buckets = (
+        None if args.batch_buckets == "none"
+        else "pow2" if args.batch_buckets == "pow2"
+        else tuple(int(x) for x in args.batch_buckets.split(","))
+    )
     scorer = DiscussionScorer.from_checkpoint(
-        args.checkpoint, best=not args.latest
+        args.checkpoint, best=not args.latest, batch_buckets=buckets,
     )
     server = ScoreServer(
         (args.host, args.port), scorer, verbose=args.verbose,

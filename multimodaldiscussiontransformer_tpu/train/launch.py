@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-graph-stack", type=int, default=2)
     p.add_argument("--num-fusion-stack", type=int, default=2)
     p.add_argument("--spatial-pos-max", type=int, default=5)
+    p.add_argument("--max-nodes", type=int, default=10000,
+                   help="hard per-graph node bound (run_train.sh:64); "
+                        "graphs past it fail loudly at collation")
     p.add_argument("--encoder-embed-dim", type=int, default=768)
     p.add_argument("--encoder-ffn-embed-dim", type=int, default=768)
     p.add_argument("--encoder-attention-heads", type=int, default=12)
@@ -68,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-updates", type=int, default=3246)
     p.add_argument("--total-num-update", type=int, default=10820)
     p.add_argument("--adam-eps", type=float, default=1e-8)
+    p.add_argument("--adam-betas", default="(0.9, 0.999)",
+                   help="adam (beta1, beta2), fairseq tuple syntax "
+                        "(run_train.sh:38 --adam-betas '(0.9, 0.999)')")
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--clip-norm", type=float, default=0.0)
     p.add_argument("--batch-size", type=int, default=12)
@@ -321,6 +327,9 @@ def config_from_args(args) -> "TrainConfig":
             warmup_updates=args.warmup_updates,
             total_num_update=args.total_num_update,
             adam_eps=args.adam_eps,
+            adam_betas=tuple(
+                float(x) for x in args.adam_betas.strip("()[] ").split(",")
+            ),
             weight_decay=args.weight_decay,
             update_freq=args.update_freq,
             scan_microbatches=not args.no_scan_microbatches,
@@ -334,6 +343,7 @@ def config_from_args(args) -> "TrainConfig":
             dataset_name="synthetic" if args.synthetic else args.dataset_name,
             num_classes=args.num_classes,
             spatial_pos_max=args.spatial_pos_max,
+            max_nodes=args.max_nodes,
             seed=args.seed,
             user_data_dir=args.user_data_dir,
         ),

@@ -158,3 +158,31 @@ def test_contrastive_eval_with_ragged_tail():
     state = trainer.init_state(first.asdict())
     metrics = trainer.evaluate(state, ds, "valid")
     assert np.isfinite(metrics["loss"])
+
+
+def test_max_nodes_bound_enforced_loudly():
+    """task.max_nodes (the reference's --max-nodes, task.py:41-44) bounds
+    per-graph size at batching time with a loud error instead of the
+    reference's inert sizes-array declaration."""
+    from multimodaldiscussiontransformer_tpu.data.dataset import (
+        iterate_batches,
+    )
+
+    ds = synthetic_dataset(num_graphs=8, **SYN)
+    data_cfg = DataConfig(
+        batch_size=4,
+        max_text_len=16,
+        node_buckets=(8, 16),
+        node_capacity_buckets=(64, 128),
+        image_capacity_buckets=(0, 8, 16, 32),
+        label_capacity_buckets=(16, 32, 64),
+    )
+    ok = list(iterate_batches(
+        ds, np.arange(8), data_cfg, TaskConfig(max_nodes=8), image_shape=IMG,
+    ))
+    assert len(ok) == 2
+    with pytest.raises(ValueError, match="max_nodes"):
+        list(iterate_batches(
+            ds, np.arange(8), data_cfg, TaskConfig(max_nodes=2),
+            image_shape=IMG,
+        ))

@@ -439,7 +439,13 @@ class TrainConfig:
     # threefry bits are compute-bound on TPU — measured +16% train
     # throughput (tools/tpu_perf_sweep.py rbg_noremat: 49.1 vs 42.3
     # disc/s). TrainState.rng stays a threefry key (checkpoint-compatible);
-    # only the per-step dropout chain is wrapped to rbg.
+    # only the per-step dropout chain is wrapped to rbg. Caveat: rbg bit
+    # streams are TOPOLOGY-dependent (JAX documents rbg/unsafe_rbg output
+    # as unstable across sharding/process layouts), so the same seed draws
+    # different masks on e.g. 1-process-4-devices vs 2-processes-2x2 —
+    # statistically equivalent training, but cross-topology runs are not
+    # bit-comparable; parity tests must set dropout to 0 (threefry, the
+    # False setting, is layout-invariant).
     fast_dropout_rng: bool = True
     # ZeRO-3-style parameter/optimizer-state sharding over the dp axis
     # (absent in the reference, FSDP only mentioned at

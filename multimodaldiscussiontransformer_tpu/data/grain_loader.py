@@ -107,6 +107,7 @@ class _CollateChunk(_MapBase):
         host_index: int,
         host_count: int,
         global_batch: int,
+        global_nsamples: bool = False,
     ):
         self.dataset = dataset
         self.data_cfg = data_cfg
@@ -118,11 +119,13 @@ class _CollateChunk(_MapBase):
         self.host_index = host_index
         self.host_count = host_count
         self.global_batch = global_batch
+        self.global_nsamples = global_nsamples
 
     def map(self, chunk: np.ndarray) -> Batch:
         return self(chunk)
 
     def __call__(self, chunk: np.ndarray) -> Batch:
+        global_real = len(chunk)  # before host slicing
         if self.host_count > 1:
             if len(chunk) != self.global_batch and self.pad_to_graphs is None:
                 # a ragged tail sliced per host would give later hosts
@@ -164,6 +167,17 @@ class _CollateChunk(_MapBase):
         )
         if self.host_count > 1:
             check_host_shapes(out.asdict(), cfg)
+            if self.global_nsamples:
+                # put_host_local contract (parallel/input.py): nsamples
+                # must be the GLOBAL real-graph count — host-computable
+                # from the global chunk before slicing, no communication
+                # needed. Opt-in: the default (local count) feeds
+                # assemble_global_batch, which sums parts.
+                import dataclasses
+
+                out = dataclasses.replace(
+                    out, nsamples=np.asarray(global_real, out.nsamples.dtype)
+                )
         return out
 
 
@@ -184,6 +198,7 @@ def grain_batches(
     host_index: int = 0,
     host_count: int = 1,
     read_ahead: int = 2,
+    global_nsamples: bool = False,
 ) -> Iterator[Batch]:
     """``iterate_batches``-equivalent stream with Grain process workers.
 
@@ -202,6 +217,7 @@ def grain_batches(
     transform = _CollateChunk(
         dataset, cfg, task_cfg, contrastive, shard_multiple, image_shape,
         bs if pad_tail_to_batch else None, host_index, host_count, bs,
+        global_nsamples,
     )
 
     if worker_count <= 0:

@@ -179,18 +179,25 @@ def cast_images_for_transfer(host: dict, dtype) -> dict:
     return out
 
 
-def prefetch_to_device(batches, mesh, depth: int = 2, image_dtype=None):
+def prefetch_to_device(batches, mesh, depth: int = 2, image_dtype=None,
+                       put_fn=None):
     """Convenience: iterate device-sharded batches with prefetching.
 
     ``image_dtype``: optional host-side transfer cast for the image buffer
     (see ``cast_images_for_transfer``).
 
+    ``put_fn``: host dict -> device batch placement override. Defaults to
+    ``shard_batch(mesh, .)`` (single-process: all devices addressable); a
+    multi-process Trainer passes ``parallel.input.put_host_local`` so each
+    host stages only its slice of the global batch.
+
     The returned object is a context-managed iterable; breaking out of the
     loop (or an exception) shuts the worker thread down."""
     from multimodaldiscussiontransformer_tpu.parallel.mesh import shard_batch
 
+    put = put_fn if put_fn is not None else (lambda h: shard_batch(mesh, h))
     return ThreadedPrefetcher(
         batches,
-        lambda h: shard_batch(mesh, cast_images_for_transfer(h, image_dtype)),
+        lambda h: put(cast_images_for_transfer(h, image_dtype)),
         depth,
     )

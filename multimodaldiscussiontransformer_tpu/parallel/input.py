@@ -215,3 +215,72 @@ def put_host_local(mesh, local: Dict[str, np.ndarray], host_index: int, host_cou
                 specs[k], arr, global_shapes[k]
             )
     return out
+
+
+def put_host_local_stacked(
+    mesh, local: Dict[str, np.ndarray], host_index: int, host_count: int
+):
+    """``put_host_local`` for (k, ...)-stacked microbatch GROUPS (the scan
+    accumulation path, ``data/loader.py::stack_microbatches``): the scan
+    axis k stays replicated, the per-batch axis (axis 1) shards over the
+    data axes with each host contributing only its rows.
+
+    ``local["nsamples"]`` must hold the (k,)-vector of GLOBAL real-graph
+    counts — host-computable because every host iterates the same global
+    index list (the same contract as ``put_host_local``)."""
+    import jax
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+        _REPLICATED_FIELDS,
+        data_axes,
+        data_parallel_size,
+    )
+
+    if jax.process_count() != host_count or host_count <= 1:
+        raise ValueError(
+            f"put_host_local_stacked: host_count={host_count} does not "
+            f"match jax.process_count()={jax.process_count()}"
+        )
+    k = next(iter(local.values())).shape[0]
+    # the per-microbatch offset math of local_batch_with_global_indices
+    # broadcasts unchanged over the stacked axis (masks and index vectors
+    # carry the same leading k)
+    b_local = local["idx"].shape[1]
+    cap_local = local["input_ids"].shape[1]
+    adj = dict(local)
+    adj["node_graph"] = np.where(
+        local["node_mask"],
+        local["node_graph"] + host_index * b_local,
+        b_local * host_count,
+    ).astype(local["node_graph"].dtype)
+    adj["image_node"] = np.where(
+        local["image_mask"],
+        local["image_node"] + host_index * cap_local,
+        cap_local * host_count,
+    ).astype(local["image_node"].dtype)
+    if local["y_node"].size:
+        adj["y_node"] = np.where(
+            local["y_slot_mask"],
+            local["y_node"] + host_index * cap_local,
+            cap_local * host_count,
+        ).astype(local["y_node"].dtype)
+
+    dp = data_parallel_size(mesh)
+    dax = data_axes(mesh)
+    out = {}
+    for key, v in adj.items():
+        arr = np.asarray(v)
+        if key in _REPLICATED_FIELDS or arr.ndim <= 1:
+            out[key] = jax.device_put(arr, NamedSharding(mesh, P()))
+            continue
+        gshape = (k, arr.shape[1] * host_count) + arr.shape[2:]
+        if gshape[1] % dp != 0:
+            raise ValueError(
+                f"stacked field '{key}' global batch axis {gshape[1]} not "
+                f"divisible by dp={dp} on a multi-process mesh"
+            )
+        spec = NamedSharding(mesh, P(None, dax, *([None] * (arr.ndim - 2))))
+        out[key] = jax.make_array_from_process_local_data(spec, arr, gshape)
+    return out

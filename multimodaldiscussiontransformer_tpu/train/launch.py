@@ -60,10 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder-ffn-embed-dim", type=int, default=768)
     p.add_argument("--encoder-attention-heads", type=int, default=12)
     p.add_argument("--encoder-layers", type=int, default=12)
-    # regularization (run_train.sh:37)
-    p.add_argument("--dropout", type=float, default=0.4)
-    p.add_argument("--attention-dropout", type=float, default=0.3)
-    p.add_argument("--act-dropout", type=float, default=0.3)
+    # regularization (run_train.sh:37). Defaults resolve in
+    # config_from_args: reference values (0.4/0.3/0.3) for real archs,
+    # the preset's own values under --tiny — but an EXPLICIT flag always
+    # wins, towers included (--tiny used to ignore these silently)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--attention-dropout", type=float, default=None)
+    p.add_argument("--act-dropout", type=float, default=None)
     # optimization (run_train.sh:38-44,65)
     p.add_argument("--lr", type=float, default=3e-5)
     p.add_argument("--end-learning-rate", type=float, default=3e-7)
@@ -106,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     # fairseq --save-interval / --save-interval-updates
     p.add_argument("--save-interval", type=int, default=1)
     p.add_argument("--save-interval-updates", type=int, default=0)
+    p.add_argument("--no-save", action="store_true", default=False,
+                   help="fairseq --no-save: never write checkpoints (also "
+                        "disables auto-resume)")
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--wandb-project", default=os.environ.get("WANDB_PROJECT"))
     p.add_argument("--tensorboard-logdir", default=None,
@@ -125,6 +131,16 @@ def build_parser() -> argparse.ArgumentParser:
                         " for trees bigger than one chip")
     p.add_argument("--fsdp", action="store_true", default=False,
                    help="shard params + optimizer state over the dp axis")
+    p.add_argument("--distributed-world-size", type=int, default=1,
+                   help="number of PROCESSES (one per TPU host) — the "
+                        "fairseq flag (run_train.sh:52) reinterpreted for "
+                        "multi-controller SPMD; 1 = single-process")
+    p.add_argument("--distributed-rank", type=int, default=0,
+                   help="this process's rank in [0, world-size)")
+    p.add_argument("--distributed-init-method", default=None,
+                   help="coordinator address, fairseq tcp:// syntax "
+                        "(tcp://HOST:PORT or HOST:PORT); required when "
+                        "world-size > 1 off-TPU (TPU VMs auto-detect)")
     p.add_argument("--num-slices", type=int, default=1,
                    help="multi-slice pods: outermost dcn mesh axis, data "
                         "parallel across slices over DCN; fsdp/tp/sp stay "
@@ -204,6 +220,30 @@ def config_from_args(args) -> "TrainConfig":
             freeze_initial_encoders=args.freeze_initial_encoders,
             dtype="float32",
         )
+        # explicit dropout flags override the preset, towers included —
+        # NB the tiny preset's towers carry the HF-default 0.1 dropout, so
+        # "--tiny --dropout 0 --attention-dropout 0 --act-dropout 0" is how
+        # tests get a bit-deterministic train step (required for e.g. the
+        # two-process-vs-single-process parity test: the rbg dropout RNG's
+        # bit stream is topology-dependent, see TrainConfig.fast_dropout_rng)
+        import dataclasses as _dc
+
+        if args.dropout is not None:
+            model = model.replace(dropout=args.dropout)
+        if args.act_dropout is not None:
+            model = model.replace(act_dropout=args.act_dropout)
+        if args.attention_dropout is not None:
+            model = model.replace(attention_dropout=args.attention_dropout)
+        if args.attention_dropout is not None or args.act_dropout is not None:
+            tower_kw = {}
+            if args.act_dropout is not None:
+                tower_kw["hidden_dropout_prob"] = args.act_dropout
+            if args.attention_dropout is not None:
+                tower_kw["attention_probs_dropout_prob"] = args.attention_dropout
+            model = model.replace(
+                text_tower=_dc.replace(model.text_tower, **tower_kw),
+                image_tower=_dc.replace(model.image_tower, **tower_kw),
+            )
     else:
         # resolve the registered architecture preset first (e.g.
         # multi_graphormer_graph_only, multi_graphormer_roberta_clip), then
@@ -228,6 +268,14 @@ def config_from_args(args) -> "TrainConfig":
         # attention_probs_dropout_prob=attention_dropout)
         import dataclasses as _dc
 
+        # unset dropout flags resolve to the reference recipe defaults
+        # (run_train.sh:37)
+        if args.dropout is None:
+            args.dropout = 0.4
+        if args.attention_dropout is None:
+            args.attention_dropout = 0.3
+        if args.act_dropout is None:
+            args.act_dropout = 0.3
         model = model.replace(
             num_bottleneck_tokens=args.num_bottleneck_tokens,
             num_fusion_layers=args.num_fusion_layers,
@@ -287,15 +335,23 @@ def config_from_args(args) -> "TrainConfig":
         ),
     )
     if args.tiny:
+        # explicit ladder flags still win (e.g. pinning a single program
+        # shape for deterministic multi-process tests)
         data = DataConfig(
             batch_size=args.batch_size,
             length_grouped=args.length_grouped,
             num_workers=args.num_workers,
             max_text_len=16,
-            node_buckets=(8, 16),
-            node_capacity_buckets=(32, 64, 128),
-            image_capacity_buckets=(0, 8, 16),
-            label_capacity_buckets=(8, 16, 32, 64),
+            node_buckets=ladder(args.node_buckets, (8, 16)),
+            node_capacity_buckets=ladder(
+                args.node_capacity_buckets, (32, 64, 128)
+            ),
+            image_capacity_buckets=ladder(
+                args.image_capacity_buckets, (0, 8, 16)
+            ),
+            label_capacity_buckets=ladder(
+                args.label_capacity_buckets, (8, 16, 32, 64)
+            ),
         )
     return TrainConfig(
         criterion=args.criterion,
@@ -352,6 +408,28 @@ def config_from_args(args) -> "TrainConfig":
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.distributed_world_size > 1:
+        # must run before anything touches a jax backend: the mesh layer
+        # then sees all global devices (one process per host, SURVEY §2.4
+        # comm row — the fairseq --distributed-world-size surface)
+        from multimodaldiscussiontransformer_tpu.parallel import distributed
+
+        addr = args.distributed_init_method
+        if addr and addr.startswith("tcp://"):
+            addr = addr[len("tcp://"):]
+        distributed.initialize(
+            coordinator_address=addr,
+            num_processes=args.distributed_world_size,
+            process_id=args.distributed_rank,
+        )
+        import jax
+
+        print(
+            f"distributed: rank {jax.process_index()}/{jax.process_count()}"
+            f", {jax.device_count()} global devices"
+        )
+
     cfg = config_from_args(args)
 
     from multimodaldiscussiontransformer_tpu.core.cache import (
@@ -455,7 +533,7 @@ def main(argv=None) -> int:
             print(f"{split}:", json.dumps(results[split]))
         return 0 if results else 1
 
-    ckpt = Checkpointer(cfg.save_dir)
+    ckpt = None if args.no_save else Checkpointer(cfg.save_dir)
     if cfg.restore_file:
         restore_ckpt = Checkpointer(cfg.restore_file)
         restored = restore_ckpt.restore(state)
@@ -476,16 +554,25 @@ def main(argv=None) -> int:
                 trainer, state, restored, cfg.reset_optimizer
             )
             print(f"restored from {cfg.restore_file}")
-    elif ckpt.latest_step() is not None:
+    elif ckpt is not None and ckpt.latest_step() is not None:
         restored = ckpt.restore(state)
         state = restore_params_into_state(trainer, state, restored, False)
         print(f"auto-resumed from step {ckpt.latest_step()}")
 
-    writer = MetricsWriter(
-        cfg.save_dir, wandb_project=args.wandb_project,
-        config=dataclasses.asdict(cfg),
-        tensorboard_logdir=args.tensorboard_logdir,
-    )
+    import jax as _jax
+
+    if _jax.process_index() == 0:
+        writer = MetricsWriter(
+            cfg.save_dir, wandb_project=args.wandb_project,
+            config=dataclasses.asdict(cfg),
+            tensorboard_logdir=args.tensorboard_logdir,
+        )
+    else:  # concurrent appends to one metrics.jsonl would interleave
+        from multimodaldiscussiontransformer_tpu.train.metrics import (
+            NullMetricsWriter,
+        )
+
+        writer = NullMetricsWriter()
     # Preemption handling (SURVEY §5 failure-detection row): TPU VMs get
     # SIGTERM with a short grace period before the maintenance event. The
     # handler only flips a flag; the train loop checkpoints at the next
@@ -512,9 +599,11 @@ def main(argv=None) -> int:
         )
     finally:
         signal.signal(signal.SIGTERM, prev_term)
-    ckpt.wait()
+    if ckpt is not None:
+        ckpt.wait()
     if stop["requested"]:
-        print(f"preempted: checkpoint saved at step {int(state.step)}")
+        saved = "checkpoint saved" if ckpt is not None else "no-save"
+        print(f"preempted: {saved} at step {int(state.step)}")
         writer.close()
         return 0
     if len(dataset.test_idx):

@@ -92,3 +92,15 @@ class MetricsWriter:
             self._wandb.finish()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullMetricsWriter:
+    """Sink for non-zero ranks on multi-process runs: every process runs
+    the same loop (metrics are replicated global values), but only process
+    0 may write — concurrent appends to one metrics.jsonl interleave."""
+
+    def write(self, split: str, step: int, metrics) -> None:
+        pass
+
+    def close(self) -> None:
+        pass

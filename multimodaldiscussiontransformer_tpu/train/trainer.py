@@ -100,6 +100,12 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self.contrastive = cfg.task == "contrastive_learning"
+        # multi-process (one process per TPU host): each process collates
+        # only its slice of every global batch and stages it with
+        # parallel.input.put_host_local — the loop logic is unchanged
+        # because batch ORDER is deterministic and identical across hosts
+        self.host_count = jax.process_count()
+        self.host_index = jax.process_index()
         # host-side transfer cast for the (H2D-dominant) image buffer —
         # numerically identical for a bf16 model (loader.
         # cast_images_for_transfer), half the transfer bytes
@@ -136,6 +142,12 @@ class Trainer:
         init_rng, state_rng = jax.random.split(rng)
         jb = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         params = self.model.init(init_rng, jb, deterministic=True)
+        if self.host_count > 1:
+            # multi-process: init runs per-process on local device 0 with
+            # the same seed (identical values everywhere); device_put of
+            # HOST values onto the global-mesh shardings builds the global
+            # arrays — committed single-device arrays would not place
+            params = jax.device_get(params)
         params = shard_params(self.mesh, params, fsdp=self.cfg.fsdp)
         self.tx = make_optimizer(
             self.cfg.optim,
@@ -144,17 +156,52 @@ class Trainer:
             wrap_multisteps=not self.cfg.optim.scan_microbatches,
         )
         opt_state = self.tx.init(params)
-        return TrainState(
+        state = TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             opt_state=opt_state,
             rng=state_rng,
             epoch=jnp.asarray(0, jnp.int32),
         )
+        if self.host_count > 1:
+            state = self._globalize_state(state)
+        return state
+
+    def _globalize_state(self, state: "TrainState") -> "TrainState":
+        """Multi-process: every state leaf must be a GLOBAL array over the
+        mesh before it can feed the pjit-ed step. Params/opt moments built
+        from sharded params already are; scalars (step/epoch/optimizer
+        counters) and the rng key were created eagerly on the local default
+        device with identical values on every process — re-place them
+        replicated over the global mesh from their host values."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        n_global = len(self.mesh.devices.reshape(-1))
+
+        def fix(x):
+            if isinstance(x, jax.Array) and len(x.sharding.device_set) == n_global:
+                return x  # already global over the mesh
+            return jax.device_put(np.asarray(jax.device_get(x)), rep)
+
+        return jax.tree.map(fix, state)
+
+    def _rep_scalar(self, v, dtype=jnp.int32):
+        """A scalar usable as a state leaf: replicated over the global
+        mesh on multi-process runs, a plain device scalar otherwise."""
+        if self.host_count > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(
+                np.asarray(v, dtype), NamedSharding(self.mesh, P())
+            )
+        return jnp.asarray(v, dtype)
 
     def load_params(self, state: TrainState, params: Any) -> TrainState:
         """Swap in externally-built params (HF import / checkpoint restore);
         re-inits optimizer state (the --reset-optimizer path, run_train.sh:63)."""
+        if self.host_count > 1:
+            params = jax.device_get(params)  # see init_state
         params = shard_params(self.mesh, params, fsdp=self.cfg.fsdp)
         self.tx = make_optimizer(
             self.cfg.optim,
@@ -162,7 +209,10 @@ class Trainer:
             freeze_initial_encoders=self.cfg.model.freeze_initial_encoders,
             wrap_multisteps=not self.cfg.optim.scan_microbatches,
         )
-        return state.replace(params=params, opt_state=self.tx.init(params))
+        state = state.replace(params=params, opt_state=self.tx.init(params))
+        if self.host_count > 1:
+            state = self._globalize_state(state)
+        return state
 
     # -- compiled steps ----------------------------------------------------
 
@@ -320,6 +370,25 @@ class Trainer:
             batch_size=self.global_batch_size,
             **kw,
         )
+        if self.host_count > 1:
+            # multi-process: this host collates only its contiguous slice
+            # of every global batch (parallel/input.py contract); nsamples
+            # carries the GLOBAL real count for put_host_local.
+            # grain_batches divides the capacity ladders by host_count
+            # itself (host_data_config: single-entry, so every host picks
+            # the same static shape with no communication) — the assembled
+            # global shapes then equal a single-process collation at the
+            # ladder max (tests/test_host_sharded_input.py pins this)
+            from multimodaldiscussiontransformer_tpu.data.grain_loader import (
+                grain_batches,
+            )
+
+            return grain_batches(
+                dataset, idx, self.cfg.data, self.cfg.task_cfg,
+                worker_count=self.cfg.data.num_workers,
+                host_index=self.host_index, host_count=self.host_count,
+                global_nsamples=True, **common,
+            )
         if self.cfg.data.num_workers > 0:
             from multimodaldiscussiontransformer_tpu.data.grain_loader import (
                 grain_batches,
@@ -333,6 +402,39 @@ class Trainer:
             dataset, idx, self.cfg.data, self.cfg.task_cfg, **common,
         )
 
+    def _put_batch(self, host: Dict[str, Any]):
+        """Host batch -> globally-sharded device batch (single- or
+        multi-process placement)."""
+        if self.host_count > 1:
+            from multimodaldiscussiontransformer_tpu.parallel.input import (
+                put_host_local,
+            )
+
+            return put_host_local(
+                self.mesh, host, self.host_index, self.host_count
+            )
+        from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+            shard_batch,
+        )
+
+        return shard_batch(self.mesh, host)
+
+    def _put_stacked(self, host: Dict[str, Any]):
+        """(k, ...)-stacked group -> device (scan accumulation path)."""
+        if self.host_count > 1:
+            from multimodaldiscussiontransformer_tpu.parallel.input import (
+                put_host_local_stacked,
+            )
+
+            return put_host_local_stacked(
+                self.mesh, host, self.host_index, self.host_count
+            )
+        from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+            shard_stacked_batch,
+        )
+
+        return shard_stacked_batch(self.mesh, host)
+
     def evaluate(self, state: TrainState, dataset: DiscussionDataset, split: str = "valid") -> Dict[str, float]:
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
@@ -345,6 +447,7 @@ class Trainer:
             for jb in prefetch_to_device(
                 self.eval_batches(dataset, split), self.mesh,
                 image_dtype=self._image_transfer_dtype,
+                put_fn=self._put_batch,
             ):
                 acc.update(self._eval_step(state.params, jb))
         return acc.reduce()
@@ -390,7 +493,17 @@ class Trainer:
         )
 
         acc = MetricAccumulator(self.criterion.reduce_metrics)
-        writer = writer or MetricsWriter(cfg.save_dir)
+        if writer is None:
+            # multi-process: every rank runs the loop (metrics are
+            # replicated global values) but only rank 0 writes
+            if self.host_index == 0:
+                writer = MetricsWriter(cfg.save_dir)
+            else:
+                from multimodaldiscussiontransformer_tpu.train.metrics import (
+                    NullMetricsWriter,
+                )
+
+                writer = NullMetricsWriter()
         # num_updates counts OPTIMIZER updates (FairSeq semantics): one
         # update = ``update_freq`` microbatches. state.step counts
         # microbatches (it drives MultiSteps).
@@ -468,9 +581,6 @@ class Trainer:
             ThreadedPrefetcher,
             stack_microbatches,
         )
-        from multimodaldiscussiontransformer_tpu.parallel.mesh import (
-            shard_stacked_batch,
-        )
 
         from multimodaldiscussiontransformer_tpu.data.loader import (
             cast_images_for_transfer,
@@ -478,9 +588,15 @@ class Trainer:
 
         def counted(groups):
             # real (non-pad) graphs per group, computed host-side before
-            # transfer: pad graphs carry idx == -1 (collate / all_pad_like)
+            # transfer: pad graphs carry idx == -1 (collate / all_pad_like).
+            # Multi-process: idx counts only this host's slice; nsamples
+            # already carries the per-microbatch GLOBAL real count
+            # (grain_loader global_nsamples contract)
             for h in groups:
-                yield h, int((h["idx"] >= 0).sum())
+                if self.host_count > 1:
+                    yield h, int(np.sum(h["nsamples"]))
+                else:
+                    yield h, int((h["idx"] >= 0).sum())
 
         def epoch_stream(epoch):
             if scan_mode:
@@ -496,11 +612,10 @@ class Trainer:
                         )
                     ),
                     lambda item: (
-                        shard_stacked_batch(
-                            self.mesh,
+                        self._put_stacked(
                             cast_images_for_transfer(
                                 item[0], self._image_transfer_dtype
-                            ),
+                            )
                         ),
                         item[1],
                     ),
@@ -508,6 +623,7 @@ class Trainer:
             return prefetch_to_device(
                 self.train_batches(dataset, epoch), self.mesh,
                 image_dtype=self._image_transfer_dtype,
+                put_fn=self._put_batch,
             )
 
         with self.mesh:
@@ -599,7 +715,7 @@ class Trainer:
                             checkpointer.save(state, num_updates)
                             checkpointer.wait()
                         return state
-                state = state.replace(epoch=jnp.asarray(epoch, jnp.int32))
+                state = state.replace(epoch=self._rep_scalar(epoch))
                 # FairSeq --save-interval semantics: checkpoint every Nth
                 # epoch end (default 1), always at the final epoch. Saves
                 # are Orbax-async, but the D2H fence still stalls the loop

@@ -111,15 +111,16 @@ def main() -> None:
     )
     scorer = DiscussionScorer(model, params, data_cfg=data_cfg)
 
-    # warm every batch-bucket program a drain of 1..max(levels) can hit
-    warm_sizes = sorted({_batch_bucket(n, "pow2")
-                         for n in range(1, max(levels) + 1)})
+    # warm every program a drain of 1..max(levels) can hit: the compiled
+    # signature is (batch bucket, node-capacity bucket) and the CAPACITY
+    # depends on the REAL item count (s x nodes), not the padded batch —
+    # so warm each drain size, not just each batch bucket
     compiles = {}
-    for size in warm_sizes:
+    for size in range(1, max(levels) + 1):
         t0 = time.perf_counter()
         scorer.score_items([disc.to_item(i) for i in range(size)])
         compiles[size] = round(time.perf_counter() - t0, 2)
-        print(f"warmed batch bucket {size}: {compiles[size]}s",
+        print(f"warmed drain size {size}: {compiles[size]}s",
               file=sys.stderr)
 
     # solo latency (direct scorer, no batching layer)

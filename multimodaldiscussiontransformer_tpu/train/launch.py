@@ -192,6 +192,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load-best", action="store_true", default=False,
                    help="evaluate the tracked best checkpoint instead of "
                         "the latest")
+    p.add_argument("--predict-output", default=None, metavar="DIR",
+                   help="with --eval-only: also write per-node "
+                        "predictions-<split>.parquet under DIR (the "
+                        "reference's prediction artifact, Comment-Only "
+                        "Experiments/src/text_bert.py:68-80)")
     p.add_argument("--average-last", type=int, default=None,
                    help="evaluate the average of the newest K checkpoints "
                         "(scripts/average_checkpoints.py surface)")
@@ -478,7 +483,18 @@ def main(argv=None) -> int:
     )
 
     trainer = task.build_trainer(image_shape=img)
-    first = next(iter(trainer.train_batches(dataset, epoch=1)))
+    first = next(iter(trainer.train_batches(dataset, epoch=1)), None)
+    if first is None:
+        print(
+            f"error: the train split yields no batches — "
+            f"{len(dataset.train_idx)} train graphs < global batch "
+            f"{trainer.global_batch_size} (per-replica "
+            f"{cfg.data.batch_size} x {trainer.global_batch_size // max(cfg.data.batch_size, 1)} "
+            f"data-parallel replicas) with drop_last; lower --batch-size "
+            f"or provide more data",
+            file=sys.stderr,
+        )
+        return 1
     state = trainer.init_state(first.asdict())
 
     if args.hf_init and not args.tiny:
@@ -531,6 +547,26 @@ def main(argv=None) -> int:
                 continue
             results[split] = trainer.evaluate(state, dataset, split)
             print(f"{split}:", json.dumps(results[split]))
+            if args.predict_output:
+                if trainer.contrastive:
+                    print("error: --predict-output needs the node task "
+                          "(contrastive targets are per-graph)",
+                          file=sys.stderr)
+                    return 1
+                from multimodaldiscussiontransformer_tpu.train.trainer import (
+                    write_predictions,
+                )
+
+                os.makedirs(args.predict_output, exist_ok=True)
+                cols = trainer.predict(state, dataset, split)
+                out_path = write_predictions(
+                    os.path.join(
+                        args.predict_output, f"predictions-{split}.parquet"
+                    ),
+                    cols,
+                )
+                print(f"wrote {len(cols['graph_idx'])} per-node rows -> "
+                      f"{out_path}")
         return 0 if results else 1
 
     ckpt = None if args.no_save else Checkpointer(cfg.save_dir)

@@ -99,6 +99,7 @@ class Trainer:
         self.tx = None  # built at init_state (needs params for freeze mask)
         self._train_step = None
         self._eval_step = None
+        self._predict_step = None
         self.contrastive = cfg.task == "contrastive_learning"
         # multi-process (one process per TPU host): each process collates
         # only its slice of every global batch and stages it with
@@ -452,6 +453,92 @@ class Trainer:
                 acc.update(self._eval_step(state.params, jb))
         return acc.reduce()
 
+    def _make_predict_step(self):
+        model = self.model
+
+        @jax.jit
+        def predict_step(params, batch) -> jax.Array:
+            out = model.apply(params, batch, deterministic=True)
+            return out.logits
+
+        return predict_step
+
+    def predict(
+        self, state: TrainState, dataset: DiscussionDataset, split: str = "valid"
+    ) -> Dict[str, np.ndarray]:
+        """Per-node prediction rows for every REAL node of ``split``.
+
+        The reference surfaces predictions two ways: the comment-only
+        baseline writes a ``predictions.parquet`` after evaluation
+        (Comment-Only Experiments/src/text_bert.py:68-80), and the full
+        model computes a logit for EVERY node on each forward (``out_all``,
+        multi_modal_discussion_transformer.py:263-276) with the loss merely
+        masking to labelled nodes (hatespeech_loss.py:93-95). This export
+        covers all real nodes; ``labeled`` marks the loss-bearing rows.
+
+        Returns equal-length 1-D numpy columns: ``graph_idx`` (dataset
+        index), ``node`` (position within the graph), ``logit_<k>`` /
+        ``prob_<k>`` per class, ``pred`` (argmax), ``label`` (-1 =
+        unlabelled) and ``labeled``. Write with ``write_predictions``."""
+        if self.contrastive:
+            raise ValueError(
+                "predict() exports per-node rows; the contrastive task has "
+                "per-graph targets — use evaluate() for its metrics"
+            )
+        if self.host_count > 1:
+            raise NotImplementedError(
+                "predict() assembles rows on one host; run --eval-only "
+                "single-process"
+            )
+        if self._predict_step is None:
+            self._predict_step = self._make_predict_step()
+        from multimodaldiscussiontransformer_tpu.data.loader import (
+            cast_images_for_transfer,
+        )
+
+        parts: Dict[str, list] = {}
+        num_classes: Optional[int] = None
+        with self.mesh:
+            for b in self.eval_batches(dataset, split):
+                host = b.asdict() if hasattr(b, "asdict") else b
+                jb = self._put_batch(
+                    cast_images_for_transfer(host, self._image_transfer_dtype)
+                )
+                logits = np.asarray(
+                    jax.device_get(self._predict_step(state.params, jb)),
+                    dtype=np.float32,
+                )  # (C, K)
+                if num_classes is None:
+                    num_classes = logits.shape[1]
+                    parts = {
+                        key: []
+                        for key in ["graph_idx", "node", "label", "labeled", "pred"]
+                        + [f"logit_{k}" for k in range(num_classes)]
+                        + [f"prob_{k}" for k in range(num_classes)]
+                    }
+                slots = np.nonzero(host["node_mask"].astype(bool))[0]
+                label_full = np.full(logits.shape[0], -1, dtype=np.int64)
+                lmask = host["y_slot_mask"].astype(bool)
+                label_full[host["y_node"][lmask]] = host["y"][lmask]
+                lg = logits[slots]
+                z = lg - lg.max(axis=1, keepdims=True)
+                prob = np.exp(z)
+                prob /= prob.sum(axis=1, keepdims=True)
+                parts["graph_idx"].append(host["idx"][host["node_graph"][slots]])
+                parts["node"].append(host["node_pos"][slots])
+                parts["label"].append(label_full[slots])
+                parts["labeled"].append(label_full[slots] >= 0)
+                parts["pred"].append(lg.argmax(axis=1))
+                for k in range(num_classes):
+                    parts[f"logit_{k}"].append(lg[:, k])
+                    parts[f"prob_{k}"].append(prob[:, k])
+        if num_classes is None:  # empty split
+            return {
+                key: np.asarray([])
+                for key in ("graph_idx", "node", "label", "labeled", "pred")
+            }
+        return {key: np.concatenate(v) for key, v in parts.items()}
+
     def fit(
         self,
         dataset: DiscussionDataset,
@@ -727,3 +814,32 @@ class Trainer:
                     checkpointer.save(state, num_updates)
             finish_profile()
         return state
+
+
+def write_predictions(path: str, columns: Dict[str, np.ndarray]) -> str:
+    """Persist ``Trainer.predict`` columns as a table.
+
+    The reference's prediction artifact is a parquet file
+    (Comment-Only Experiments/src/text_bert.py:68-80 writes
+    ``predictions.parquet``); ``.csv`` paths write CSV, and a missing
+    parquet engine degrades to CSV next to the requested path instead of
+    failing the run. Returns the path actually written."""
+    import sys
+
+    import pandas as pd
+
+    df = pd.DataFrame(columns)
+    if path.endswith(".csv"):
+        df.to_csv(path, index=False)
+        return path
+    try:
+        df.to_parquet(path)
+        return path
+    except (ImportError, ValueError) as e:
+        alt = os.path.splitext(path)[0] + ".csv"
+        df.to_csv(alt, index=False)
+        print(
+            f"warning: parquet engine unavailable ({e!r}); wrote {alt}",
+            file=sys.stderr,
+        )
+        return alt

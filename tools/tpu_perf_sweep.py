@@ -253,6 +253,13 @@ VARIANTS = {
     # overheads, no trajectory change
     "batch36_uf1": dict(remat=False, use_pallas=True, bf16_adam=True,
                         batch=36, node_cap=768, img_cap=192, label_cap=384),
+    # intermediate per-program batches: batch36 trips the tunnel's
+    # large-payload remote-compile 500 — find where the limit sits and
+    # whether bigger programs raise the forward ceiling at all
+    "batch18_uf1": dict(remat=False, use_pallas=True, bf16_adam=True,
+                        batch=18, node_cap=384, img_cap=96, label_cap=192),
+    "batch24_uf1": dict(remat=False, use_pallas=True, bf16_adam=True,
+                        batch=24, node_cap=512, img_cap=128, label_cap=256),
     "batch36_uf1_dots": dict(remat=True, remat_policy="dots_saveable",
                              use_pallas=True, bf16_adam=True, batch=36,
                              node_cap=768, img_cap=192, label_cap=384),

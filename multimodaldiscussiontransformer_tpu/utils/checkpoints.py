@@ -54,14 +54,16 @@ class Checkpointer:
     best-checkpoint tracking (HF ``save_total_limit=3`` /
     ``load_best_model_at_end`` analogue, Comment-Only text_bert.py:42-46)."""
 
-    def __init__(self, save_dir: str, keep: int = 3):
+    def __init__(self, save_dir: str, keep: int = 3,
+                 async_save: bool = True):
         import orbax.checkpoint as ocp
 
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
         self._ocp = ocp
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=keep, create=True, enable_async_checkpointing=True
+            max_to_keep=keep, create=True,
+            enable_async_checkpointing=async_save,
         )
         self.manager = ocp.CheckpointManager(self.save_dir, options=options)
         # best checkpoints live in their own manager so rolling retention of
@@ -70,19 +72,33 @@ class Checkpointer:
         self._best_manager = ocp.CheckpointManager(
             self._best_dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=1, create=True, enable_async_checkpointing=True
+                max_to_keep=1, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 
     def save(self, state, step: int, best: bool = False) -> None:
-        host = _host_state(state)
+        # Multi-process (one process per TPU host, the reference's DDP
+        # world-size surface, run_train.sh:52,57-58): the state's leaves are
+        # GLOBAL jax.Arrays whose shards span hosts (fsdp/tp), so host
+        # materialization is impossible — hand Orbax the global arrays and
+        # every process writes exactly its addressable shards. Every rank
+        # must call save (Orbax coordinates via barriers). Single-process
+        # keeps the host-numpy path (one D2H fence, tunnel-friendly).
+        if jax.process_count() > 1:
+            host = state
+        else:
+            host = _host_state(state)
         self.manager.save(step, args=self._ocp.args.StandardSave(host))
         if best:
             self._best_manager.save(
                 step, args=self._ocp.args.StandardSave(host)
             )
-            with open(os.path.join(self.save_dir, "best_step.txt"), "w") as f:
-                f.write(str(step))
+            if jax.process_index() == 0:
+                with open(
+                    os.path.join(self.save_dir, "best_step.txt"), "w"
+                ) as f:
+                    f.write(str(step))
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -100,7 +116,13 @@ class Checkpointer:
             if best:  # fall back to the rolling store
                 return self.restore(state, None, False)
             return None
-        target = jax.tree.map(np.asarray, _host_state(state))
+        if jax.process_count() > 1:
+            # restore as GLOBAL arrays re-placed by the live state's
+            # shardings: each host reads only its shards, and the result
+            # can feed the pjit-ed step directly
+            target = _abstract_state(state)
+        else:
+            target = jax.tree.map(np.asarray, _host_state(state))
         try:
             return manager.restore(
                 step, args=self._ocp.args.StandardRestore(target)
@@ -222,6 +244,19 @@ def save_params(save_dir: str, params: Any, step: int = 0) -> None:
 def _host_state(state) -> Any:
     """Materialize a device pytree on host for serialization."""
     return jax.tree.map(lambda x: np.asarray(x), jax.device_get(state))
+
+
+def _abstract_state(state) -> Any:
+    """Multi-process restore target: each ``jax.Array`` leaf restores as a
+    GLOBAL array placed by its current sharding (Orbax reads only the
+    host's shards); non-device leaves restore as host numpy."""
+
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return np.asarray(x)
+
+    return jax.tree.map(leaf, state)
 
 
 def _get(restored, key):

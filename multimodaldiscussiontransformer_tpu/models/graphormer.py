@@ -33,6 +33,28 @@ from multimodaldiscussiontransformer_tpu.models.bert import MASK_BIAS
 Dtype = Any
 
 
+def graph_activation_fn(name: str):
+    """The fairseq activation registry subset the reference exposes on
+    ``--activation-fn`` (multi_modal_discussion_transformer.py:138-143 via
+    fairseq ``utils.get_activation_fn``; arch default gelu, line 314).
+    fairseq's ``gelu`` is the exact erf variant; ``gelu_fast`` /
+    ``gelu_accurate`` are the tanh approximation."""
+    table = {
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu_fast": lambda x: jax.nn.gelu(x, approximate=True),
+        "gelu_accurate": lambda x: jax.nn.gelu(x, approximate=True),
+        "relu": jax.nn.relu,
+        "relu_squared": lambda x: jnp.square(jax.nn.relu(x)),
+        "tanh": jnp.tanh,
+        "linear": lambda x: x,
+    }
+    if name not in table:
+        raise ValueError(
+            f"unknown activation_fn {name!r}; supported: {sorted(table)}"
+        )
+    return table[name]
+
+
 def masked_embed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Embedding lookup with torch ``padding_idx=0`` semantics: id 0 maps to
     an exact zero vector (graphormer_layers.py:29-33, 74-80)."""
@@ -323,7 +345,7 @@ class GraphormerGraphEncoderLayer(nn.Module):
         residual = x
         if pre:
             x = self.final_layer_norm(x)
-        x = jax.nn.gelu(self.fc1(x), approximate=False)
+        x = graph_activation_fn(self.config.activation_fn)(self.fc1(x))
         x = self.activation_dropout(x, deterministic=deterministic)
         x = self.fc2(x)
         x = self.dropout(x, deterministic=deterministic)

@@ -298,6 +298,43 @@ class MDTModel(nn.Module):
         )
 
 
+def apply_graphormer_init_params(params, rng: jax.Array):
+    """The reference's ``--apply-graphormer-init`` transform
+    (``init_graphormer_params``, multigraphormer_graph_encoder.py:18-39,
+    applied model-wide by ``GraphormerModel.__init__`` when the flag is set,
+    multi_modal_discussion_transformer.py:28; arch default False, line 312):
+    every Linear weight and every Embedding table re-initialized
+    normal(0, 0.02), Linear biases zeroed. Conv (ViT patch embedding) and
+    LayerNorms are untouched, matching the reference's isinstance checks.
+    Note the reference applies this over the WHOLE model, towers included —
+    enabling it after an HF import clobbers the pretrained towers there
+    too, which is why it defaults off in both systems."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+    )
+    keys = sorted(flat)  # deterministic rng assignment
+    rngs = dict(zip(keys, jax.random.split(rng, len(keys))))
+    out = {}
+    for path, leaf in flat.items():
+        name = path[-1]
+        if name == "kernel" and getattr(leaf, "ndim", 0) == 2:
+            out[path] = 0.02 * jax.random.normal(
+                rngs[path], leaf.shape, leaf.dtype
+            )
+        elif name == "bias" and (path[:-1] + ("kernel",)) in flat \
+                and flat[path[:-1] + ("kernel",)].ndim == 2:
+            out[path] = jnp.zeros_like(leaf)
+        elif name == "embedding":
+            out[path] = 0.02 * jax.random.normal(
+                rngs[path], leaf.shape, leaf.dtype
+            )
+        else:
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)
+
+
 @register_model_architecture("multi_graphormer")
 def multi_graphormer(cfg: Optional[ModelConfig] = None, **overrides) -> ModelConfig:
     """Arch defaults mirroring ``base_architecture``

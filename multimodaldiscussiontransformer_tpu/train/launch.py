@@ -60,6 +60,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder-ffn-embed-dim", type=int, default=768)
     p.add_argument("--encoder-attention-heads", type=int, default=12)
     p.add_argument("--encoder-layers", type=int, default=12)
+    # graph-block knobs from the reference model's add_args surface
+    # (multi_modal_discussion_transformer.py:33-158); None/absent = keep
+    # the arch preset's value (base_architecture layering, lines 290-344)
+    p.add_argument("--activation-fn", default=None,
+                   help="graph-block FFN activation (reference/arch "
+                        "default gelu; relu, gelu_fast, tanh, ...)")
+    p.add_argument("--pre-layernorm", action="store_true", default=None,
+                   help="pre-LN graph blocks instead of the default "
+                        "post-LN")
+    p.add_argument("--encoder-normalize-before", action="store_true",
+                   default=None,
+                   help="final LayerNorm before the graph stacks "
+                        "(arch default on)")
+    p.add_argument("--apply-graphormer-init", action="store_true",
+                   default=None,
+                   help="model-wide normal(0.02) Linear/Embedding re-init "
+                        "(clobbers pretrained towers; reference default "
+                        "off)")
     # regularization (run_train.sh:37). Defaults resolve in
     # config_from_args: reference values (0.4/0.3/0.3) for real archs,
     # the preset's own values under --tiny — but an EXPLICIT flag always
@@ -311,6 +329,18 @@ def config_from_args(args) -> "TrainConfig":
                 attention_probs_dropout_prob=args.attention_dropout,
             ),
         )
+    # graph-block knobs: explicit flags override the arch preset (tiny
+    # included); absent flags keep the preset's values
+    if args.activation_fn is not None:
+        model = model.replace(activation_fn=args.activation_fn)
+    if args.pre_layernorm is not None:
+        model = model.replace(pre_layernorm=args.pre_layernorm)
+    if args.encoder_normalize_before is not None:
+        model = model.replace(
+            encoder_normalize_before=args.encoder_normalize_before
+        )
+    if args.apply_graphormer_init is not None:
+        model = model.replace(apply_graphormer_init=args.apply_graphormer_init)
     if args.sp_size > 1:
         # an sp mesh axis is only useful if the model routes its graph
         # attention through the ring — enable it together

@@ -143,6 +143,15 @@ class Trainer:
         init_rng, state_rng = jax.random.split(rng)
         jb = {k: jnp.asarray(v) for k, v in sample_batch.items()}
         params = self.model.init(init_rng, jb, deterministic=True)
+        if self.cfg.model.apply_graphormer_init:
+            # reference --apply-graphormer-init: model-wide normal(0.02)
+            # Linear/Embedding re-init (models/mdt.py docstring)
+            from multimodaldiscussiontransformer_tpu.models.mdt import (
+                apply_graphormer_init_params,
+            )
+
+            init_rng, gi_rng = jax.random.split(init_rng)
+            params = apply_graphormer_init_params(params, gi_rng)
         if self.host_count > 1:
             # multi-process: init runs per-process on local device 0 with
             # the same seed (identical values everywhere); device_put of

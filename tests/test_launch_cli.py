@@ -61,3 +61,30 @@ def test_smoke_flags():
     assert cfg.task_cfg.dataset_name == "synthetic"
     assert cfg.data.batch_size == 4
     assert cfg.model.encoder_embed_dim == 64
+
+
+def test_graph_block_knob_flags():
+    """The reference model's add_args knobs
+    (multi_modal_discussion_transformer.py:33-158): absent flags keep the
+    arch preset's values; explicit flags override, --tiny included."""
+    args = build_parser().parse_args(CANONICAL)
+    m = config_from_args(args).model
+    assert m.activation_fn == "gelu"       # arch default, line 314
+    assert m.encoder_normalize_before      # preset default
+    assert not m.pre_layernorm
+    assert not m.apply_graphormer_init     # default off, line 312
+
+    args = build_parser().parse_args(
+        CANONICAL
+        + ["--activation-fn", "relu", "--pre-layernorm",
+           "--apply-graphormer-init"]
+    )
+    m = config_from_args(args).model
+    assert m.activation_fn == "relu"
+    assert m.pre_layernorm
+    assert m.apply_graphormer_init
+
+    args = build_parser().parse_args(
+        ["--synthetic", "--tiny", "--activation-fn", "tanh"]
+    )
+    assert config_from_args(args).model.activation_fn == "tanh"

@@ -212,3 +212,66 @@ def test_graph_only_config():
     assert not any("vit" in p for p in paths)
     out = model.apply(params, jb, deterministic=True)
     assert np.isfinite(np.asarray(out.logits)[batch.node_mask]).all()
+
+
+def test_activation_fn_is_honored(model_and_params):
+    """``ModelConfig.activation_fn`` must reach the graph-block FFN (the
+    reference's --activation-fn via fairseq get_activation_fn,
+    graphormer_graph_encoder_layer.py:50,135; arch default gelu)."""
+    cfg, model, params = model_and_params
+    items = synthetic_batch_items(
+        2, seed=3, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8
+    )
+    jb = to_jax(make_batch(items))
+    base = model.apply(params, jb, deterministic=True)
+    relu_model = MDTModel(cfg.replace(activation_fn="relu"))
+    out = relu_model.apply(params, jb, deterministic=True)
+    # same params, different FFN nonlinearity => different logits
+    assert not np.allclose(np.asarray(base.logits), np.asarray(out.logits))
+    with pytest.raises(ValueError, match="unknown activation_fn"):
+        MDTModel(cfg.replace(activation_fn="nope")).apply(
+            params, jb, deterministic=True
+        )
+
+
+def test_apply_graphormer_init_transform(model_and_params):
+    """--apply-graphormer-init semantics (init_graphormer_params,
+    multigraphormer_graph_encoder.py:18-39): every 2-D Dense kernel and
+    embedding table re-drawn normal(0, 0.02), Dense biases zeroed;
+    LayerNorms and conv kernels untouched."""
+    import flax
+
+    from multimodaldiscussiontransformer_tpu.models.mdt import (
+        apply_graphormer_init_params,
+    )
+
+    cfg, model, params = model_and_params
+    new = apply_graphormer_init_params(params, jax.random.PRNGKey(7))
+    old_flat = flax.traverse_util.flatten_dict(flax.core.unfreeze(params))
+    new_flat = flax.traverse_util.flatten_dict(new)
+    assert set(old_flat) == set(new_flat)
+    n_kernels = n_embeds = 0
+    for path, old in old_flat.items():
+        fresh = np.asarray(new_flat[path])
+        name = path[-1]
+        if name == "kernel" and old.ndim == 2:
+            n_kernels += 1
+            assert not np.allclose(fresh, np.asarray(old))
+            assert abs(float(fresh.std()) - 0.02) < 0.01, path
+        elif name == "bias" and (path[:-1] + ("kernel",)) in old_flat \
+                and old_flat[path[:-1] + ("kernel",)].ndim == 2:
+            assert (fresh == 0).all(), path
+        elif name == "embedding":
+            n_embeds += 1
+            assert abs(float(fresh.std()) - 0.02) < 0.01, path
+        else:  # LN scale/bias, conv kernels: untouched
+            np.testing.assert_array_equal(fresh, np.asarray(old), err_msg=str(path))
+    assert n_kernels > 10 and n_embeds >= 3
+
+    # the transformed tree still drives the forward
+    items = synthetic_batch_items(
+        2, seed=4, seq_len=16, vocab_size=128, image_shape=IMG, max_nodes=8
+    )
+    jb = to_jax(make_batch(items))
+    out = model.apply(new, jb, deterministic=True)
+    assert np.isfinite(np.asarray(out.logits)).all()

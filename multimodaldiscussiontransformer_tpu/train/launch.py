@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["node_prediction", "contrastive_learning"])
     p.add_argument("--criterion", default="node_cross_entropy")
     p.add_argument("--arch", default="multi_graphormer_base")
+    p.add_argument("--user-dir", default="",
+                   help="fairseq --user-dir (run_train.sh:29): import this "
+                        "directory as a user module before building, so "
+                        "its register_* decorators fire")
     p.add_argument("--user-data-dir", default="")
     p.add_argument("--dataset-name", default="hateful_discussions")
     p.add_argument("--data-root", default=None,
@@ -47,11 +51,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--split", type=int, default=0)
     p.add_argument("--seed", type=int, default=1)
-    # model geometry (run_train.sh:47-54)
-    p.add_argument("--num-fusion-layers", type=int, default=8)
-    p.add_argument("--num-bottleneck-tokens", type=int, default=4)
-    p.add_argument("--num-graph-stack", type=int, default=2)
-    p.add_argument("--num-fusion-stack", type=int, default=2)
+    # model geometry (run_train.sh:47-54). The underscore spellings are
+    # the reference model's own add_args surface
+    # (multi_modal_discussion_transformer.py:70-93,155) — accepted as
+    # aliases so the reference launch script works after only swapping
+    # `fairseq-train` for this module
+    p.add_argument("--num-fusion-layers", "--num_fusion_layers",
+                   type=int, default=8)
+    p.add_argument("--num-bottleneck-tokens", "--num_bottleneck_tokens",
+                   type=int, default=4)
+    p.add_argument("--num-graph-stack", "--num_graph_stack",
+                   type=int, default=2)
+    p.add_argument("--num-fusion-stack", "--num_fusion_stack",
+                   type=int, default=2)
     p.add_argument("--spatial-pos-max", type=int, default=5)
     p.add_argument("--max-nodes", type=int, default=10000,
                    help="hard per-graph node bound (run_train.sh:64); "
@@ -86,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention-dropout", type=float, default=None)
     p.add_argument("--act-dropout", type=float, default=None)
     # optimization (run_train.sh:38-44,65)
+    p.add_argument("--optimizer", default="adam", choices=["adam"],
+                   help="fairseq --optimizer surface; adam is the only "
+                        "optimizer the reference recipe uses "
+                        "(run_train.sh:38)")
+    p.add_argument("--lr-scheduler", default="polynomial_decay",
+                   choices=["polynomial_decay"],
+                   help="fairseq --lr-scheduler surface (run_train.sh:39)")
     p.add_argument("--lr", type=float, default=3e-5)
     p.add_argument("--end-learning-rate", type=float, default=3e-7)
     p.add_argument("--power", type=float, default=1.0)
@@ -98,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--clip-norm", type=float, default=0.0)
     p.add_argument("--batch-size", type=int, default=12)
+    p.add_argument("--required-batch-size-multiple", type=int, default=1,
+                   help="fairseq surface (run_train.sh:44): batch size "
+                        "must be a multiple of this (static TPU batches "
+                        "are never rounded silently — violations fail "
+                        "loudly at launch)")
     p.add_argument("--update-freq", type=int, default=3)
     p.add_argument("--no-scan-microbatches", action="store_true",
                    default=False,
@@ -112,13 +136,21 @@ def build_parser() -> argparse.ArgumentParser:
     # precision: the reference's --fp16 (run_train.sh:45)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--fp16", action="store_true", default=False,
+                   help="fairseq --fp16 (run_train.sh:45), mapped to the "
+                        "TPU-native mixed-precision policy: bfloat16 "
+                        "compute (fp16 proper has no TPU support and its "
+                        "loss-scaling machinery is unnecessary with bf16's "
+                        "f32-range exponent)")
     # criterion weights (run_train.sh:59-60)
     p.add_argument("--positive-weight", type=float, default=1.5)
     p.add_argument("--negative-weight", type=float, default=1.0)
     p.add_argument("--soft-negative-weight", type=float, default=0.0)
     p.add_argument("--multiplication-scale", type=float, default=20.0)
-    # freezing (run_train.sh:53)
-    p.add_argument("--freeze-initial-encoders", action="store_true", default=False)
+    # freezing (run_train.sh:53; the reference spells it with underscores,
+    # multi_modal_discussion_transformer.py:155)
+    p.add_argument("--freeze-initial-encoders", "--freeze_initial_encoders",
+                   action="store_true", default=False)
     # checkpointing (run_train.sh:57-63)
     p.add_argument("--save-dir", default="checkpoints")
     p.add_argument("--restore-file", default=None)
@@ -229,6 +261,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> "TrainConfig":
+    if getattr(args, "fp16", False):
+        # the reference's mixed-precision flag (run_train.sh:45); bf16 is
+        # the TPU equivalent — see the --fp16 help text
+        args.dtype = "bfloat16"
     from multimodaldiscussiontransformer_tpu.core.config import (
         DataConfig,
         ModelConfig,
@@ -443,6 +479,33 @@ def config_from_args(args) -> "TrainConfig":
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if (args.required_batch_size_multiple > 1
+            and args.batch_size % args.required_batch_size_multiple):
+        print(
+            f"error: --batch-size {args.batch_size} is not a multiple of "
+            f"--required-batch-size-multiple "
+            f"{args.required_batch_size_multiple} (static TPU batch shapes "
+            f"are never rounded silently)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.user_dir:
+        # fairseq --user-dir semantics (import_user_module): import the
+        # directory as a package so its register_* decorators fire
+        import importlib.util as _ilu
+        import os.path as _osp
+
+        init = _osp.join(args.user_dir, "__init__.py")
+        spec = _ilu.spec_from_file_location(
+            _osp.basename(_osp.normpath(args.user_dir)) or "mdt_user_dir",
+            init if _osp.exists(init) else None,
+            submodule_search_locations=[args.user_dir],
+        )
+        if spec is not None and spec.loader is not None:
+            module = _ilu.module_from_spec(spec)
+            sys.modules[spec.name] = module
+            spec.loader.exec_module(module)
 
     if args.distributed_world_size > 1:
         # must run before anything touches a jax backend: the mesh layer

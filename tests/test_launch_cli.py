@@ -88,3 +88,68 @@ def test_graph_block_knob_flags():
         ["--synthetic", "--tiny", "--activation-fn", "tanh"]
     )
     assert config_from_args(args).model.activation_fn == "tanh"
+
+
+def test_reference_script_flag_vector_verbatim():
+    """The EXACT fairseq-train flag vector from the reference launch script
+    (run_train.sh:28-65 with the canonical positional args 8 4 5 2 2 0,
+    sample_run.sh:3) must parse — underscore spellings, --fp16,
+    --optimizer/--lr-scheduler, --required-batch-size-multiple and all —
+    so the script works after only swapping the `fairseq-train` token."""
+    argv = [
+        "--user-dir", ".",
+        "--user-data-dir", "",
+        "--num-workers", "8",
+        "--dataset-name", "hateful_discussions",
+        "--task", "node_prediction",
+        "--criterion", "node_cross_entropy",
+        "--arch", "multi_graphormer_base",
+        "--num-classes", "1",
+        "--attention-dropout", "0.3", "--act-dropout", "0.3",
+        "--dropout", "0.4",
+        "--optimizer", "adam", "--adam-betas", "(0.9, 0.999)",
+        "--adam-eps", "1e-8", "--weight-decay", "0.01",
+        "--lr-scheduler", "polynomial_decay", "--power", "1",
+        "--warmup-updates", "3246", "--total-num-update", "10820",
+        "--lr", "3e-5", "--end-learning-rate", "3e-7",
+        "--spatial-pos-max", "5",
+        "--validate-interval-updates", "300",
+        "--batch-size", "12",
+        "--required-batch-size-multiple", "1",
+        "--fp16",
+        "--encoder-layers", "4",
+        "--num_bottleneck_tokens", "4",
+        "--num_fusion_layers", "8",
+        "--num_graph_stack", "2",
+        "--num_fusion_stack", "2",
+        "--encoder-embed-dim", "768",
+        "--distributed-world-size", "1",
+        "--encoder-ffn-embed-dim", "768",
+        "--encoder-attention-heads", "12",
+        "--max-epoch", "37",
+        "--wandb-project", "Multi-Modal Discussion Transformer",
+        "--save-dir", "./checkpoints-final/x",
+        "--restore-file", "/does/not/matter/checkpoint_last.pt",
+        "--positive-weight", "1.5",
+        "--negative-weight", "1",
+        "--freeze_initial_encoders",
+        "--split", "0",
+        "--reset-optimizer",
+        "--max-nodes", "10000",
+        "--update-freq", "3",
+    ]
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    m = cfg.model
+    assert (m.num_fusion_layers, m.num_bottleneck_tokens) == (8, 4)
+    assert (m.num_graph_stack, m.num_fusion_stack) == (2, 2)
+    assert m.freeze_initial_encoders
+    assert m.dtype == "bfloat16"  # --fp16 maps to the bf16 policy
+    assert args.fp16 and args.optimizer == "adam"
+    assert args.lr_scheduler == "polynomial_decay"
+    assert cfg.optim.update_freq == 3
+    assert cfg.task_cfg.max_nodes == 10000
+    # --fp16 wins over an explicit conflicting --dtype (mixed precision
+    # was requested; bf16 IS the TPU mixed-precision policy)
+    args2 = build_parser().parse_args(argv + ["--dtype", "float32"])
+    assert config_from_args(args2).model.dtype == "bfloat16"

@@ -31,6 +31,7 @@ cache/network is available, offline fallbacks otherwise.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import re
@@ -230,6 +231,58 @@ def preprocess_image(path_or_array, size: int = VIT_SIZE) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
+@dataclasses.dataclass
+class IngestStats:
+    """Per-run ingestion accounting. The reference crashes on the first
+    unreadable image (hateful_discussions.py:172-176 has no handler); we
+    stay robust but LOUD: every drop is counted and summarized, never
+    silently swallowed."""
+
+    trees: int = 0
+    nodes: int = 0
+    labelled_nodes: int = 0
+    graph_copies: int = 0
+    images_attempted: int = 0
+    images_loaded: int = 0
+    images_dropped: int = 0
+    # up to MAX_EXAMPLES "path: error" strings for the summary
+    drop_examples: List[str] = dataclasses.field(default_factory=list)
+
+    MAX_EXAMPLES = 5
+
+    def record_image_drop(self, path: str, err: Exception) -> None:
+        self.images_dropped += 1
+        if len(self.drop_examples) < self.MAX_EXAMPLES:
+            self.drop_examples.append(f"{path}: {type(err).__name__}: {err}")
+
+    def merge(self, other: "IngestStats") -> None:
+        self.trees += other.trees
+        self.nodes += other.nodes
+        self.labelled_nodes += other.labelled_nodes
+        self.graph_copies += other.graph_copies
+        self.images_attempted += other.images_attempted
+        self.images_loaded += other.images_loaded
+        self.images_dropped += other.images_dropped
+        for ex in other.drop_examples:
+            if len(self.drop_examples) < self.MAX_EXAMPLES:
+                self.drop_examples.append(ex)
+
+    def summary(self) -> str:
+        lines = [
+            f"trees={self.trees} nodes={self.nodes} "
+            f"labelled={self.labelled_nodes} graph_copies={self.graph_copies}",
+            f"images: attempted={self.images_attempted} "
+            f"loaded={self.images_loaded} dropped={self.images_dropped}",
+        ]
+        if self.images_dropped:
+            lines.append(
+                f"WARNING: {self.images_dropped} image(s) failed to load and "
+                "were ingested as no-image nodes; first failures:"
+            )
+            lines.extend(f"  {ex}" for ex in self.drop_examples)
+        return "\n".join(lines)
+
+
 # ---------------------------------------------------------------------------
 # tree flattening
 # ---------------------------------------------------------------------------
@@ -287,6 +340,7 @@ def tree_to_items(
     image_loader: Callable = preprocess_image,
     start_idx: int = 0,
     image_size: int = VIT_SIZE,
+    stats: Optional[IngestStats] = None,
 ) -> List[GraphItem]:
     """One raw discussion -> one GraphItem per labelled node
     (the per-label graph duplication of hateful_discussions.py:196-232)."""
@@ -308,16 +362,20 @@ def tree_to_items(
     for i, nid in enumerate(order):
         paths = records[nid]["images"]
         if paths:
+            full = os.path.join(image_root, paths[0]) if image_root else paths[0]
+            if stats is not None:
+                stats.images_attempted += 1
             try:
-                imgs.append(
-                    image_loader(
-                        os.path.join(image_root, paths[0]) if image_root else paths[0],
-                        image_size,
-                    )
-                )
+                imgs.append(image_loader(full, image_size))
                 has_image[i] = True
-            except Exception:
-                pass
+                if stats is not None:
+                    stats.images_loaded += 1
+            except Exception as e:
+                # robust-but-loud: the node becomes a no-image node, and the
+                # drop is accounted for in the per-run summary (the reference
+                # would crash here instead — silent drops burn corpora).
+                if stats is not None:
+                    stats.record_image_drop(full, e)
     x_images = (
         np.stack(imgs).astype(np.float32)
         if imgs
@@ -346,6 +404,11 @@ def tree_to_items(
                 y_mask=y_mask,
             )
         )
+    if stats is not None:
+        stats.trees += 1
+        stats.nodes += n
+        stats.labelled_nodes += len(labelled)
+        stats.graph_copies += len(items)
     return items
 
 
@@ -384,12 +447,15 @@ def _ingest_worker_init(
     _WORKER_STATE["args"] = (image_root, max_length, image_size)
 
 
-def _ingest_worker(line: str) -> List[GraphItem]:
+def _ingest_worker(line: str) -> Tuple[List[GraphItem], IngestStats]:
     image_root, max_length, image_size = _WORKER_STATE["args"]
-    return tree_to_items(
+    stats = IngestStats()
+    items = tree_to_items(
         json.loads(line), _WORKER_STATE["tokenizer"], image_root=image_root,
         max_length=max_length, start_idx=0, image_size=image_size,
+        stats=stats,
     )
+    return items, stats
 
 
 def process(
@@ -414,9 +480,12 @@ def process(
 
     ``workers > 0`` fans the per-tree work (tokenize, image preprocess,
     distance matrices) out over a process pool, preserving output order and
-    idx assignment exactly (ordered imap; idx numbering happens here)."""
-    import dataclasses
+    idx assignment exactly (ordered imap; idx numbering happens here).
 
+    Prints a per-corpus accounting summary at the end (trees / nodes /
+    labelled / graph copies / image drops — the reference's FINAL K /
+    TOTAL Ys summary, hateful_discussions.py:234-236, extended with
+    robust-but-loud image-failure accounting)."""
     os.makedirs(os.path.join(out_root, "processed"), exist_ok=True)
 
     def read_idx(path):
@@ -443,6 +512,7 @@ def process(
     )
 
     k = 0
+    run_stats = IngestStats()
     with open(json_path) as f, open(
         os.path.join(out_root, "train-idx-many.txt"), "w"
     ) as train_out, open(
@@ -451,7 +521,8 @@ def process(
 
         def consume(results):
             nonlocal k
-            for graph_num, items in results:
+            for graph_num, (items, tree_stats) in results:
+                run_stats.merge(tree_stats)
                 for item in items:
                     item = dataclasses.replace(item, idx=k)
                     save_graph_npz(
@@ -491,6 +562,7 @@ def process(
                 for graph_num, line in selected_lines(f)
             )
     print(f"FINAL K {k}")
+    print(run_stats.summary())
     return k
 
 

@@ -1,9 +1,12 @@
 """Launch-CLI flag parity: the canonical reference invocation must map onto
 the exact canonical TrainConfig (run_train.sh:28-65, sample_run.sh:3)."""
 
+import pytest
+
 from multimodaldiscussiontransformer_tpu.train.launch import (
     build_parser,
     config_from_args,
+    handle_vestigial_flags,
 )
 
 CANONICAL = (
@@ -153,3 +156,48 @@ def test_reference_script_flag_vector_verbatim():
     # was requested; bf16 IS the TPU mixed-precision policy)
     args2 = build_parser().parse_args(argv + ["--dtype", "float32"])
     assert config_from_args(args2).model.dtype == "bfloat16"
+
+
+def test_vestigial_flags_accepted_with_warning(capsys):
+    """The reference's dead model flags parse (no argparse error) and warn
+    (VERDICT r3 missing #4; multi_modal_discussion_transformer.py:109-130,
+    MIGRATION.md per-flag table)."""
+    parser = build_parser()
+    args = parser.parse_args(
+        CANONICAL
+        + ["--encoder-learned-pos", "--no-token-positional-embeddings",
+           "--max-positions", "512", "--encoder-layerdrop", "0.0",
+           "--quant-noise-pq", "0.0"]
+    )
+    handle_vestigial_flags(args, parser)
+    err = capsys.readouterr().err
+    assert "--encoder-learned-pos is vestigial" in err
+    assert "--no-token-positional-embeddings is vestigial" in err
+    assert "--max-positions is vestigial" in err and "--max-nodes" in err
+    # the config is untouched by the vestigial flags
+    cfg = config_from_args(args)
+    assert cfg.model.encoder_embed_dim == 768
+
+    # silent when absent / at reference defaults
+    args = parser.parse_args(CANONICAL)
+    handle_vestigial_flags(args, parser)
+    assert capsys.readouterr().err == ""
+
+
+@pytest.mark.parametrize(
+    "flags, pointer",
+    [
+        (["--share-encoder-input-output-embed"], "NotImplementedError"),
+        (["--encoder-layerdrop", "0.1"], "multigraphormer_graph_encoder"),
+        (["--quant-noise-pq", "0.5"], "multigraphormer_graph_encoder"),
+    ],
+)
+def test_vestigial_flags_rejected_with_pointer(flags, pointer, capsys):
+    """Behavior-changing dead flags are rejected with an explanation, not an
+    argparse 'unrecognized arguments' error."""
+    parser = build_parser()
+    args = parser.parse_args(CANONICAL + flags)
+    with pytest.raises(SystemExit) as e:
+        handle_vestigial_flags(args, parser)
+    assert e.value.code == 2
+    assert pointer in capsys.readouterr().err

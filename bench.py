@@ -279,6 +279,40 @@ def main() -> None:
             infer_rate = n_inf / (time.perf_counter() - t0)
             infer_mfu = flops["infer_total"] * infer_rate / peak
 
+    # PARITY-DEFAULT secondary number (VERDICT r3 weak #1): the canonical
+    # section above uses bf16_adam_state=True (a documented ~4% lever,
+    # recorded in config_deltas below) while the product default is False
+    # for exact-recipe parity (core/config.py:391). Measure the
+    # default-config product too so the artifact never overstates it.
+    parity = {}
+    try:
+        parity_cfg = cfg.replace(
+            optim=OptimConfig(update_freq=3, bf16_adam_state=False)
+        )
+        parity_trainer = Trainer(parity_cfg, mesh=mesh)
+        parity_state = parity_trainer.init_state(host_batches[0])
+        parity_step = parity_trainer._make_train_step_scan()
+        with mesh:
+            for i in range(WARMUP):
+                parity_state, plogs = parity_step(
+                    parity_state, device_batches[i % N_BATCHES]
+                )
+            assert math.isfinite(_loss_value(plogs))
+            parity_state, prate, plosses = _timed_window(
+                parity_step, parity_state, device_batches,
+                max(10, int(math.ceil(MIN_WINDOW_SEC * steps_per_sec))),
+            )
+        assert all(math.isfinite(v) for v in plosses)
+        parity = {
+            "parity_default_value": round(prate * uf * BATCH, 3),
+            "parity_default_mfu": round(
+                flops["train_total"] * uf * prate / peak, 4
+            ),
+        }
+        del parity_state, parity_step, parity_trainer
+    except Exception as e:
+        parity = {"parity_default_error": repr(e)[:800]}
+
     # free the canonical section's device state before the big-tree bucket —
     # params + adam state + 8 staged batches would otherwise share HBM with
     # the (much larger) big-tree activations
@@ -291,64 +325,75 @@ def main() -> None:
     # regime where the fused tree-attention kernel matters — one short
     # fenced window
     big = {}
-    try:
-        from multimodaldiscussiontransformer_tpu.data.collator import collate
-        from multimodaldiscussiontransformer_tpu.data.synthetic import (
-            synthetic_batch_items,
-        )
+    # remat POLICY ladder (VERDICT r3 weak #2): dots_saveable measured +4.3%
+    # over full remat at canonical shapes; try it first at Nmax=128, fall
+    # back to the known-cached full-remat program if the tunnel's
+    # large-payload fresh-compile 500 blocks it (TODO.md batch36 entry) —
+    # the artifact records which policy actually ran, plus the blocked error.
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+    from multimodaldiscussiontransformer_tpu.data.synthetic import (
+        synthetic_batch_items,
+    )
 
-        BIG_NODES, BIG_CAP, BIG_LCAP = 128, 512, 256
-        big_cfg = cfg.replace(
-            data=DataConfig(
-                batch_size=BATCH,
-                node_buckets=(BIG_NODES,),
-                node_capacity_buckets=(BIG_CAP,),
+    BIG_NODES, BIG_CAP, BIG_LCAP = 128, 512, 256
+    for big_policy in ("dots_saveable", "full"):
+        try:
+            big_cfg = cfg.replace(
+                data=DataConfig(
+                    batch_size=BATCH,
+                    node_buckets=(BIG_NODES,),
+                    node_capacity_buckets=(BIG_CAP,),
+                    image_capacity_buckets=(IMG_CAP,),
+                    label_capacity_buckets=(BIG_LCAP,),
+                ),
+                # this shape needs ~24G of activations without remat (v5e
+                # has 16G HBM) — exactly the remat trade-off's target regime
+                model=cfg.model.replace(remat=True, remat_policy=big_policy),
+                optim=OptimConfig(update_freq=1, bf16_adam_state=True),
+            )
+            big_trainer = Trainer(big_cfg, mesh=mesh)
+            big_items = synthetic_batch_items(
+                BATCH, seed=0, min_nodes=32, max_nodes=BIG_NODES, seq_len=SEQ,
+                vocab_size=big_cfg.model.text_tower.vocab_size, image_prob=0.1,
+                image_shape=(3, 224, 224),
+            )
+            big_host = collate(
+                big_items, spatial_pos_max=big_cfg.task_cfg.spatial_pos_max,
+                node_buckets=(BIG_NODES,), node_capacity_buckets=(BIG_CAP,),
                 image_capacity_buckets=(IMG_CAP,),
                 label_capacity_buckets=(BIG_LCAP,),
-            ),
-            # this shape needs ~24G of activations without remat (v5e has
-            # 16G HBM) — exactly the remat trade-off's target regime
-            model=cfg.model.replace(remat=True),
-            optim=OptimConfig(update_freq=1, bf16_adam_state=True),
-        )
-        big_trainer = Trainer(big_cfg, mesh=mesh)
-        big_items = synthetic_batch_items(
-            BATCH, seed=0, min_nodes=32, max_nodes=BIG_NODES, seq_len=SEQ,
-            vocab_size=big_cfg.model.text_tower.vocab_size, image_prob=0.1,
-            image_shape=(3, 224, 224),
-        )
-        big_host = collate(
-            big_items, spatial_pos_max=big_cfg.task_cfg.spatial_pos_max,
-            node_buckets=(BIG_NODES,), node_capacity_buckets=(BIG_CAP,),
-            image_capacity_buckets=(IMG_CAP,),
-            label_capacity_buckets=(BIG_LCAP,),
-        ).asdict()
-        big_flops = train_step_flops(
-            big_cfg.model,
-            batch=BATCH,
-            node_capacity=big_host["input_ids"].shape[0],
-            image_capacity=big_host["images"].shape[0],
-            seq_len=big_host["input_ids"].shape[1],
-            max_nodes=big_host["in_degree"].shape[1],
-        )
-        big_state = big_trainer.init_state(big_host)
-        big_step = big_trainer._make_train_step()
-        with mesh:
-            bjb = shard_batch(mesh, big_host)
-            for _ in range(2):
-                big_state, blogs = big_step(big_state, bjb)
-            _loss_value(blogs)
-            big_state, rate, blosses = _timed_window(
-                big_step, big_state, [bjb], 8
+            ).asdict()
+            big_flops = train_step_flops(
+                big_cfg.model,
+                batch=BATCH,
+                node_capacity=big_host["input_ids"].shape[0],
+                image_capacity=big_host["images"].shape[0],
+                seq_len=big_host["input_ids"].shape[1],
+                max_nodes=big_host["in_degree"].shape[1],
             )
-        assert all(math.isfinite(v) for v in blosses)
-        big = {
-            "bigtree_nmax": BIG_NODES,
-            "bigtree_throughput": round(rate * BATCH, 3),
-            "bigtree_mfu": round(big_flops["train_total"] * rate / peak, 4),
-        }
-    except Exception as e:  # the headline metric must survive big-tree issues
-        big = {"bigtree_error": repr(e)[:800]}
+            big_state = big_trainer.init_state(big_host)
+            big_step = big_trainer._make_train_step()
+            with mesh:
+                bjb = shard_batch(mesh, big_host)
+                for _ in range(2):
+                    big_state, blogs = big_step(big_state, bjb)
+                _loss_value(blogs)
+                big_state, rate, blosses = _timed_window(
+                    big_step, big_state, [bjb], 8
+                )
+            assert all(math.isfinite(v) for v in blosses)
+            big.update(
+                bigtree_nmax=BIG_NODES,
+                bigtree_throughput=round(rate * BATCH, 3),
+                bigtree_mfu=round(big_flops["train_total"] * rate / peak, 4),
+                bigtree_remat_policy=big_policy,
+            )
+            del big_state, big_step, big_trainer, bjb
+            gc.collect()
+            break
+        except Exception as e:  # headline must survive big-tree issues
+            big[f"bigtree_{big_policy}_error"] = repr(e)[:400]
+            gc.collect()
 
     # flash bucket (VERDICT r2 weak 7): ONE giant tree past the flash
     # threshold (S = Nmax+1 = 769 >= _FLASH_MIN_S = 513,
@@ -357,64 +402,74 @@ def main() -> None:
     # dropout masks are the whole hot path, and the (S, S) probs never
     # materialize in any pass
     flash = {}
-    try:
-        from multimodaldiscussiontransformer_tpu.data.collator import collate
-        from multimodaldiscussiontransformer_tpu.data.synthetic import (
-            synthetic_item,
-        )
-        import numpy as _np
+    from multimodaldiscussiontransformer_tpu.data.synthetic import (
+        synthetic_item,
+    )
+    import numpy as _np
 
-        FLASH_NODES = 768  # S = 769
-        flash_cfg = cfg.replace(
-            data=DataConfig(
-                batch_size=1,
+    FLASH_NODES = 768  # S = 769
+    for flash_policy in ("dots_saveable", "full"):
+        try:
+            flash_cfg = cfg.replace(
+                data=DataConfig(
+                    batch_size=1,
+                    node_buckets=(FLASH_NODES,),
+                    node_capacity_buckets=(FLASH_NODES,),
+                    image_capacity_buckets=(16,),
+                    label_capacity_buckets=(256,),
+                ),
+                model=cfg.model.replace(
+                    remat=True, remat_policy=flash_policy
+                ),
+                optim=OptimConfig(update_freq=1, bf16_adam_state=True),
+            )
+            flash_trainer = Trainer(flash_cfg, mesh=mesh)
+            flash_item = synthetic_item(
+                idx=0, num_nodes=FLASH_NODES, rng=_np.random.default_rng(0),
+                seq_len=SEQ, vocab_size=flash_cfg.model.text_tower.vocab_size,
+                image_prob=0.01, image_shape=(3, 224, 224),
+            )
+            flash_host = collate(
+                [flash_item],
+                spatial_pos_max=flash_cfg.task_cfg.spatial_pos_max,
                 node_buckets=(FLASH_NODES,),
                 node_capacity_buckets=(FLASH_NODES,),
-                image_capacity_buckets=(16,),
-                label_capacity_buckets=(256,),
-            ),
-            model=cfg.model.replace(remat=True),
-            optim=OptimConfig(update_freq=1, bf16_adam_state=True),
-        )
-        flash_trainer = Trainer(flash_cfg, mesh=mesh)
-        flash_item = synthetic_item(
-            idx=0, num_nodes=FLASH_NODES, rng=_np.random.default_rng(0),
-            seq_len=SEQ, vocab_size=flash_cfg.model.text_tower.vocab_size,
-            image_prob=0.01, image_shape=(3, 224, 224),
-        )
-        flash_host = collate(
-            [flash_item], spatial_pos_max=flash_cfg.task_cfg.spatial_pos_max,
-            node_buckets=(FLASH_NODES,),
-            node_capacity_buckets=(FLASH_NODES,),
-            image_capacity_buckets=(16,), label_capacity_buckets=(256,),
-        ).asdict()
-        flash_flops = train_step_flops(
-            flash_cfg.model,
-            batch=1,
-            node_capacity=flash_host["input_ids"].shape[0],
-            image_capacity=flash_host["images"].shape[0],
-            seq_len=flash_host["input_ids"].shape[1],
-            max_nodes=flash_host["in_degree"].shape[1],
-        )
-        flash_state = flash_trainer.init_state(flash_host)
-        flash_step = flash_trainer._make_train_step()
-        with mesh:
-            fjb = shard_batch(mesh, flash_host)
-            for _ in range(2):
-                flash_state, flogs = flash_step(flash_state, fjb)
-            _loss_value(flogs)
-            flash_state, frate, flosses = _timed_window(
-                flash_step, flash_state, [fjb], 8
+                image_capacity_buckets=(16,), label_capacity_buckets=(256,),
+            ).asdict()
+            flash_flops = train_step_flops(
+                flash_cfg.model,
+                batch=1,
+                node_capacity=flash_host["input_ids"].shape[0],
+                image_capacity=flash_host["images"].shape[0],
+                seq_len=flash_host["input_ids"].shape[1],
+                max_nodes=flash_host["in_degree"].shape[1],
             )
-        assert all(math.isfinite(v) for v in flosses)
-        flash = {
-            "flash_s": FLASH_NODES + 1,
-            "flash_throughput": round(frate, 3),
-            "flash_unit": "giant-discussions/sec/chip",
-            "flash_mfu": round(flash_flops["train_total"] * frate / peak, 4),
-        }
-    except Exception as e:
-        flash = {"flash_error": repr(e)[:800]}
+            flash_state = flash_trainer.init_state(flash_host)
+            flash_step = flash_trainer._make_train_step()
+            with mesh:
+                fjb = shard_batch(mesh, flash_host)
+                for _ in range(2):
+                    flash_state, flogs = flash_step(flash_state, fjb)
+                _loss_value(flogs)
+                flash_state, frate, flosses = _timed_window(
+                    flash_step, flash_state, [fjb], 8
+                )
+            assert all(math.isfinite(v) for v in flosses)
+            flash.update(
+                flash_s=FLASH_NODES + 1,
+                flash_throughput=round(frate, 3),
+                flash_unit="giant-discussions/sec/chip",
+                flash_mfu=round(
+                    flash_flops["train_total"] * frate / peak, 4
+                ),
+                flash_remat_policy=flash_policy,
+            )
+            del flash_state, flash_step, flash_trainer, fjb
+            gc.collect()
+            break
+        except Exception as e:
+            flash[f"flash_{flash_policy}_error"] = repr(e)[:400]
+            gc.collect()
 
     discussions_per_sec = steps_per_sec * uf * BATCH
     print(
@@ -443,6 +498,25 @@ def main() -> None:
                 "infer_throughput": round(infer_rate * BATCH, 3),
                 "infer_unit": "discussions/sec/chip",
                 "infer_mfu": round(infer_mfu, 4),
+                # every knob the headline sections set away from the
+                # product's TrainConfig defaults, so the artifact is
+                # self-describing (VERDICT r3 weak #1). The parity_default_*
+                # keys above measure the untouched-default product.
+                "config_deltas_from_product_defaults": {
+                    "optim.bf16_adam_state": True,
+                    "optim.update_freq": uf,
+                    "data.node_buckets": [MAX_NODES],
+                    "data.node_capacity_buckets": [NODE_CAP],
+                    "bigtree.model.remat": True,
+                    "bigtree.model.remat_policy": big.get(
+                        "bigtree_remat_policy"
+                    ),
+                    "flash.model.remat": True,
+                    "flash.model.remat_policy": flash.get(
+                        "flash_remat_policy"
+                    ),
+                },
+                **parity,
                 **big,
                 **flash,
             }

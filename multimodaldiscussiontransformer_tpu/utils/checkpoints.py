@@ -52,17 +52,34 @@ def reset_classifier_head(params: Any, rng: jax.Array) -> Any:
 class Checkpointer:
     """Orbax-backed save/restore with keep-last-K retention and
     best-checkpoint tracking (HF ``save_total_limit=3`` /
-    ``load_best_model_at_end`` analogue, Comment-Only text_bert.py:42-46)."""
+    ``load_best_model_at_end`` analogue, Comment-Only text_bert.py:42-46).
+
+    Async saves are guarded by a WATCHDOG (``async_timeout_sec``): if an
+    async save's background commit has not finished within the timeout
+    (observed on CPU-starved multi-process hosts, where the cross-process
+    finalize barriers can wedge — tests/test_two_process_checkpoint.py),
+    the checkpointer warns, abandons the wedged async machinery, and
+    downgrades itself to synchronous saves for the rest of the run — the
+    deadlock is contained by code, and no later save can silently queue
+    behind a stuck barrier."""
 
     def __init__(self, save_dir: str, keep: int = 3,
-                 async_save: bool = True):
+                 async_save: bool = True,
+                 async_timeout_sec: float = 600.0):
         import orbax.checkpoint as ocp
 
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
         self._ocp = ocp
+        self._keep = keep
+        self._async = bool(async_save)
+        self._async_timeout = float(async_timeout_sec)
+        self._build_managers(self._async)
+
+    def _build_managers(self, async_save: bool) -> None:
+        ocp = self._ocp
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=keep, create=True,
+            max_to_keep=self._keep, create=True,
             enable_async_checkpointing=async_save,
         )
         self.manager = ocp.CheckpointManager(self.save_dir, options=options)
@@ -77,6 +94,71 @@ class Checkpointer:
             ),
         )
 
+    def _timed(self, fn, what: str) -> bool:
+        """Run ``fn`` on a helper thread, bounded by the watchdog timeout.
+        Returns True on completion; on timeout the (possibly wedged) thread
+        is abandoned and False is returned. Exceptions propagate."""
+        import threading
+
+        box = {}
+
+        def run():
+            try:
+                fn()
+                box["ok"] = True
+            except BaseException as e:  # surfaced on the caller thread
+                box["err"] = e
+
+        t = threading.Thread(target=run, daemon=True, name=f"ckpt-{what}")
+        t.start()
+        t.join(self._async_timeout)
+        if "err" in box:
+            raise box["err"]
+        if t.is_alive():
+            import sys as _sys
+
+            print(
+                f"WARNING: async checkpoint {what} did not finish within "
+                f"{self._async_timeout:.0f}s — abandoning the wedged async "
+                "machinery and downgrading to synchronous saves for the "
+                "rest of the run",
+                file=_sys.stderr, flush=True,
+            )
+            return False
+        return True
+
+    def _downgrade_to_sync(self) -> None:
+        """Abandon the wedged async managers (closing them would block on
+        the same stuck barrier) and rebuild synchronous ones. Also unhook
+        any executor threads from the interpreter's atexit join so a stuck
+        commit thread cannot hang process shutdown."""
+        self._async = False
+        try:
+            import concurrent.futures.thread as _cft
+
+            _cft._threads_queues.clear()  # never join wedged pool threads
+        except Exception:
+            pass
+        self._build_managers(False)
+
+    def _guarded_wait(self) -> bool:
+        """wait_until_finished under the watchdog; downgrades on timeout.
+        Returns False iff the wait timed out (that save may be lost)."""
+        if not self._async:
+            self.manager.wait_until_finished()
+            self._best_manager.wait_until_finished()
+            return True
+        ok = self._timed(
+            lambda: (
+                self.manager.wait_until_finished(),
+                self._best_manager.wait_until_finished(),
+            ),
+            "wait",
+        )
+        if not ok:
+            self._downgrade_to_sync()
+        return ok
+
     def save(self, state, step: int, best: bool = False) -> None:
         # Multi-process (one process per TPU host, the reference's DDP
         # world-size surface, run_train.sh:52,57-58): the state's leaves are
@@ -89,11 +171,33 @@ class Checkpointer:
             host = state
         else:
             host = _host_state(state)
-        self.manager.save(step, args=self._ocp.args.StandardSave(host))
-        if best:
-            self._best_manager.save(
-                step, args=self._ocp.args.StandardSave(host)
+
+        def do_save(manager, force=False):
+            manager.save(
+                step, args=self._ocp.args.StandardSave(host), force=force
             )
+
+        if self._async:
+            # the save call itself waits for any in-flight async commit, so
+            # a wedged background barrier surfaces HERE — watchdog it
+            ok = self._timed(lambda: do_save(self.manager), "save")
+            if not ok:
+                self._downgrade_to_sync()
+                # the wedged attempt may have partially created the step
+                # dir; force overwrites it synchronously
+                do_save(self.manager, force=True)
+        else:
+            do_save(self.manager)
+        if best:
+            if self._async:
+                ok = self._timed(
+                    lambda: do_save(self._best_manager), "save-best"
+                )
+                if not ok:
+                    self._downgrade_to_sync()
+                    do_save(self._best_manager, force=True)
+            else:
+                do_save(self._best_manager)
             if jax.process_index() == 0:
                 with open(
                     os.path.join(self.save_dir, "best_step.txt"), "w"
@@ -145,12 +249,21 @@ class Checkpointer:
         return manager.restore(step)
 
     def wait(self) -> None:
-        self.manager.wait_until_finished()
-        self._best_manager.wait_until_finished()
+        self._guarded_wait()
 
     def close(self) -> None:
-        self.manager.close()
-        self._best_manager.close()
+        if self._async:
+            ok = self._timed(
+                lambda: (self.manager.close(), self._best_manager.close()),
+                "close",
+            )
+            if not ok:
+                self._downgrade_to_sync()  # abandons the wedged managers
+                self.manager.close()
+                self._best_manager.close()
+        else:
+            self.manager.close()
+            self._best_manager.close()
 
 
 def average_checkpoints(

@@ -464,11 +464,21 @@ class Trainer:
 
     def _make_predict_step(self):
         model = self.model
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from multimodaldiscussiontransformer_tpu.parallel.mesh import (
+            data_axes,
+        )
+
+        # pin the logits to the batch (node-capacity) sharding so each host
+        # can read exactly its own contiguous rows back from the global
+        # array (multi-host predict; parallel/input.py layout contract)
+        out_sharding = NamedSharding(self.mesh, P(data_axes(self.mesh), None))
 
         @jax.jit
         def predict_step(params, batch) -> jax.Array:
             out = model.apply(params, batch, deterministic=True)
-            return out.logits
+            return jax.lax.with_sharding_constraint(out.logits, out_sharding)
 
         return predict_step
 
@@ -488,16 +498,18 @@ class Trainer:
         Returns equal-length 1-D numpy columns: ``graph_idx`` (dataset
         index), ``node`` (position within the graph), ``logit_<k>`` /
         ``prob_<k>`` per class, ``pred`` (argmax), ``label`` (-1 =
-        unlabelled) and ``labeled``. Write with ``write_predictions``."""
+        unlabelled) and ``labeled``. Write with ``write_predictions``.
+
+        Multi-process: a COLLECTIVE call (every rank must enter). Each host
+        assembles the rows for its contiguous slice of every global batch
+        from the logits' addressable shards, then the ragged per-host row
+        sets are allgathered so every rank returns the identical full
+        columns (rank 0 writes; the reference's eval artifact surface has
+        no single-host restriction, Comment-Only text_bert.py:68-80)."""
         if self.contrastive:
             raise ValueError(
                 "predict() exports per-node rows; the contrastive task has "
                 "per-graph targets — use evaluate() for its metrics"
-            )
-        if self.host_count > 1:
-            raise NotImplementedError(
-                "predict() assembles rows on one host; run --eval-only "
-                "single-process"
             )
         if self._predict_step is None:
             self._predict_step = self._make_predict_step()
@@ -513,10 +525,24 @@ class Trainer:
                 jb = self._put_batch(
                     cast_images_for_transfer(host, self._image_transfer_dtype)
                 )
-                logits = np.asarray(
-                    jax.device_get(self._predict_step(state.params, jb)),
-                    dtype=np.float32,
-                )  # (C, K)
+                garr = self._predict_step(state.params, jb)
+                if self.host_count > 1:
+                    # this host's contiguous node-capacity rows of the
+                    # global (C_global, K) logits, in global row order —
+                    # they line up 1:1 with the LOCAL ``host`` batch
+                    # (put_host_local places host h at rows
+                    # [h*cap_local, (h+1)*cap_local))
+                    shards = sorted(
+                        garr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0,
+                    )
+                    logits = np.concatenate(
+                        [np.asarray(s.data) for s in shards], axis=0
+                    ).astype(np.float32)
+                else:
+                    logits = np.asarray(
+                        jax.device_get(garr), dtype=np.float32
+                    )  # (C, K)
                 if num_classes is None:
                     num_classes = logits.shape[1]
                     parts = {
@@ -546,7 +572,10 @@ class Trainer:
                 key: np.asarray([])
                 for key in ("graph_idx", "node", "label", "labeled", "pred")
             }
-        return {key: np.concatenate(v) for key, v in parts.items()}
+        cols = {key: np.concatenate(v) for key, v in parts.items()}
+        if self.host_count > 1:
+            cols = _allgather_columns(cols)
+        return cols
 
     def fit(
         self,
@@ -823,6 +852,30 @@ class Trainer:
                     checkpointer.save(state, num_updates)
             finish_profile()
         return state
+
+
+def _allgather_columns(cols: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Gather ragged per-host prediction rows so every rank holds the full
+    table: pad each 1-D column to the global max row count, allgather over
+    processes, trim per the true counts, concatenate in host order."""
+    from jax.experimental import multihost_utils as mhu
+
+    n_local = len(next(iter(cols.values())))
+    counts = np.asarray(
+        mhu.process_allgather(np.asarray(n_local, np.int64))
+    ).reshape(-1)
+    n_max = int(counts.max())
+    out = {}
+    for key in sorted(cols):  # identical traversal order on every rank
+        col = np.asarray(cols[key])
+        pad = np.zeros((n_max - len(col),), col.dtype)
+        stacked = np.asarray(
+            mhu.process_allgather(np.concatenate([col, pad]))
+        )  # (H, n_max)
+        out[key] = np.concatenate(
+            [stacked[h, : counts[h]] for h in range(len(counts))]
+        )
+    return out
 
 
 def write_predictions(path: str, columns: Dict[str, np.ndarray]) -> str:

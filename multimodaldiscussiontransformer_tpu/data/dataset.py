@@ -47,13 +47,19 @@ class DiscussionDataset:
         a batch and the collator's text-length bucket stays small)."""
         cache = self.__dict__.setdefault("_len_cache", {})
         if i not in cache:
-            it = self.get(i)
-            am = it.attention_mask
-            cache[i] = (
-                int(np.max(np.where(am.any(axis=0))[0], initial=0)) + 1
-                if am.any()
-                else 1
-            )
+            raw = self.items[i]
+            if callable(getattr(raw, "text_length", None)):
+                # lazy loaders expose a cheap probe (e.g. NpzItemLoader
+                # reads one scalar instead of decompressing the images)
+                cache[i] = int(raw.text_length())
+            else:
+                it = self.get(i)
+                am = it.attention_mask
+                cache[i] = (
+                    int(np.max(np.where(am.any(axis=0))[0], initial=0)) + 1
+                    if am.any()
+                    else 1
+                )
         return cache[i]
 
     @classmethod

@@ -57,6 +57,21 @@ class NpzItemLoader:
     def __call__(self) -> GraphItem:
         return load_graph_npz(self.path)
 
+    def text_length(self) -> int:
+        """Cheap probe for length-grouped batching: decompress ONLY the
+        ``text_len`` scalar (written by ingest.save_graph_npz) — or, for
+        pre-round-4 corpora, only the attention_mask member — never the
+        (much larger) image arrays. At 10^4-10^5 graphs the full-item load
+        per epoch was the length-grouping scaling hazard."""
+        with np.load(self.path, allow_pickle=False) as z:
+            if "text_len" in z:
+                return int(z["text_len"])
+            am = z["attention_mask"]
+        return (
+            int(np.max(np.where(am.any(axis=0))[0], initial=0)) + 1
+            if am.any() else 1
+        )
+
 
 def _read_index_file(path: str) -> np.ndarray:
     with open(path) as f:

@@ -413,8 +413,17 @@ def tree_to_items(
 
 
 def save_graph_npz(path: str, item: GraphItem) -> None:
+    am = item.attention_mask
+    text_len = (
+        int(np.max(np.where(am.any(axis=0))[0], initial=0)) + 1
+        if am.any() else 1
+    )
     arrays = dict(
         idx=np.asarray(item.idx),
+        # cheap length probe: length-grouped batching at corpus scale must
+        # not decompress every member (images!) of every npz just to learn
+        # the token length (NpzItemLoader.text_length reads only this)
+        text_len=np.asarray(text_len, np.int32),
         input_ids=item.input_ids,
         token_type_ids=item.token_type_ids,
         attention_mask=item.attention_mask,
@@ -517,12 +526,19 @@ def process(
         os.path.join(out_root, "train-idx-many.txt"), "w"
     ) as train_out, open(
         os.path.join(out_root, "test-idx-many.txt"), "w"
-    ) as test_out:
+    ) as test_out, open(
+        os.path.join(out_root, "tree-map.txt"), "w"
+    ) as map_out:
 
         def consume(results):
             nonlocal k
             for graph_num, (items, tree_stats) in results:
                 run_stats.merge(tree_stats)
+                # tree -> graph-copy mapping: "<tree_line> <first_k>
+                # <n_copies>" per source tree, so downstream stages (e.g.
+                # the contrastive corpus: one graph per TREE) can reuse the
+                # ingested npz files without re-tokenizing the raw JSON
+                map_out.write(f"{graph_num} {k} {len(items)}\n")
                 for item in items:
                     item = dataclasses.replace(item, idx=k)
                     save_graph_npz(

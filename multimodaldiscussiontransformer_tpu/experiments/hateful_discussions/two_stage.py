@@ -93,6 +93,8 @@ def generate_mini_corpus(
     label_mode: str = "text",
     marker_repeats: int = 3,
     context_star: bool = False,
+    image_style: str = "noise",
+    comment_dist=None,
 ) -> Dict[str, str]:
     """Write raw.json (reference schema), per-tree communities.json, root
     images, and a covering mini vocab.txt. Returns the file paths.
@@ -132,9 +134,20 @@ def generate_mini_corpus(
             if rng.rand() < image_prob:
                 from PIL import Image
 
-                arr = rng.randint(
-                    0, 255, (image_px, image_px, 3), dtype=np.uint8
-                )
+                if image_style == "smooth":
+                    # low-frequency content (photo-like compressibility):
+                    # white noise is zlib's worst case and makes scale runs
+                    # pay an unrepresentative savez_compressed tax
+                    base = rng.randint(0, 255, (4, 4, 3), dtype=np.uint8)
+                    arr = np.asarray(
+                        Image.fromarray(base).resize(
+                            (image_px, image_px), resample=2
+                        )
+                    )
+                else:
+                    arr = rng.randint(
+                        0, 255, (image_px, image_px, 3), dtype=np.uint8
+                    )
                 image = f"images/img{t}.png"
                 Image.fromarray(arr).save(os.path.join(out_dir, image))
             if label_mode in ("context", "marker", "context_or"):
@@ -148,7 +161,12 @@ def generate_mini_corpus(
                     }[label_mode],
                 )
                 continue
-            n_comments = int(rng.randint(3, 8))
+            # comment_dist(rng) -> int overrides the CI-scale default tree
+            # size (scale rehearsals want a heavy-tailed size mix)
+            n_comments = (
+                int(comment_dist(rng)) if comment_dist is not None
+                else int(rng.randint(3, 8))
+            )
             nodes = []
             for c in range(n_comments):
                 hateful = bool(rng.rand() < 0.3)
@@ -352,6 +370,69 @@ def build_contrastive_items(
                 )
             )
     return items
+
+
+class ContrastiveNpzLoader:
+    """Picklable lazy contrastive item: one ingested graph copy relabeled
+    for the contrastive task (y = community id, hard_y = polar opposite,
+    y_mask dropped) — loads from disk at collate time only."""
+
+    __slots__ = ("path", "idx", "community", "hard")
+
+    def __init__(self, path: str, idx: int, community: int, hard: int):
+        self.path = path
+        self.idx = idx
+        self.community = community
+        self.hard = hard
+
+    def __call__(self):
+        from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+            load_graph_npz,
+        )
+
+        it = load_graph_npz(self.path)
+        return dataclasses.replace(
+            it,
+            idx=self.idx,
+            y=np.asarray([self.community], np.int64),
+            y_mask=None,
+            hard_y=np.asarray([self.hard], np.int64),
+        )
+
+    def text_length(self) -> int:
+        from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+            NpzItemLoader,
+        )
+
+        return NpzItemLoader(self.path).text_length()
+
+
+def contrastive_dataset_from_ingest(
+    data_root: str, communities: List[int], seed: int = 0
+):
+    """Scalable stage-1 corpus: one LAZY contrastive item per source tree,
+    reusing the ingested npz graphs via ``tree-map.txt`` (ingest.process) —
+    no re-tokenization, no re-imaging, nothing resident until collate.
+    ``build_contrastive_items`` (above) stays as the in-memory small-corpus
+    path; at 10^4+ trees this is the one that holds."""
+    from multimodaldiscussiontransformer_tpu.data.dataset import (
+        DiscussionDataset,
+    )
+
+    items = []
+    with open(os.path.join(data_root, "tree-map.txt")) as f:
+        for line in f:
+            g, k0, n = (int(x) for x in line.split())
+            if n == 0:
+                continue  # tree contributed no labelled copies
+            c = int(communities[g])
+            items.append(
+                ContrastiveNpzLoader(
+                    os.path.join(data_root, "processed", f"graph-{k0}.npz"),
+                    g, c, POLAR[c],
+                )
+            )
+    return DiscussionDataset.from_splits(items, seed=seed)
 
 
 def run(

@@ -279,13 +279,22 @@ def main() -> None:
             infer_rate = n_inf / (time.perf_counter() - t0)
             infer_mfu = flops["infer_total"] * infer_rate / peak
 
+    # free the CANONICAL state (params + adam) before the parity run: two
+    # optimizer states plus remat-off activations exceed v5e HBM (measured:
+    # RESOURCE_EXHAUSTED cascading into every later section)
+    import gc
+
+    del state, device_singles, logits, state_params, step, trainer
+    gc.collect()
+
     # PARITY-DEFAULT secondary number (VERDICT r3 weak #1): the canonical
     # section above uses bf16_adam_state=True (a documented ~4% lever,
     # recorded in config_deltas below) while the product default is False
     # for exact-recipe parity (core/config.py:391). Measure the
     # default-config product too so the artifact never overstates it.
-    parity = {}
-    try:
+    # Runs in its OWN FRAME so an HBM failure cannot leak its state into
+    # the later sections through surviving locals.
+    def _measure_parity():
         parity_cfg = cfg.replace(
             optim=OptimConfig(update_freq=3, bf16_adam_state=False)
         )
@@ -303,22 +312,22 @@ def main() -> None:
                 max(10, int(math.ceil(MIN_WINDOW_SEC * steps_per_sec))),
             )
         assert all(math.isfinite(v) for v in plosses)
-        parity = {
+        return {
             "parity_default_value": round(prate * uf * BATCH, 3),
             "parity_default_mfu": round(
                 flops["train_total"] * uf * prate / peak, 4
             ),
         }
-        del parity_state, parity_step, parity_trainer
+
+    try:
+        parity = _measure_parity()
     except Exception as e:
         parity = {"parity_default_error": repr(e)[:800]}
+    gc.collect()
 
-    # free the canonical section's device state before the big-tree bucket —
-    # params + adam state + 8 staged batches would otherwise share HBM with
-    # the (much larger) big-tree activations
-    import gc
-
-    del state, device_batches, device_singles, logits, state_params, step, trainer
+    # free the staged canonical batches before the big-tree bucket — they
+    # would otherwise share HBM with the (much larger) big-tree activations
+    del device_batches
     gc.collect()
 
     # big-tree bucket (VERDICT r1 weak 7): canonical batch at Nmax=128 — the
@@ -336,59 +345,63 @@ def main() -> None:
     )
 
     BIG_NODES, BIG_CAP, BIG_LCAP = 128, 512, 256
-    for big_policy in ("dots_saveable", "full"):
-        try:
-            big_cfg = cfg.replace(
-                data=DataConfig(
-                    batch_size=BATCH,
-                    node_buckets=(BIG_NODES,),
-                    node_capacity_buckets=(BIG_CAP,),
-                    image_capacity_buckets=(IMG_CAP,),
-                    label_capacity_buckets=(BIG_LCAP,),
-                ),
-                # this shape needs ~24G of activations without remat (v5e
-                # has 16G HBM) — exactly the remat trade-off's target regime
-                model=cfg.model.replace(remat=True, remat_policy=big_policy),
-                optim=OptimConfig(update_freq=1, bf16_adam_state=True),
-            )
-            big_trainer = Trainer(big_cfg, mesh=mesh)
-            big_items = synthetic_batch_items(
-                BATCH, seed=0, min_nodes=32, max_nodes=BIG_NODES, seq_len=SEQ,
-                vocab_size=big_cfg.model.text_tower.vocab_size, image_prob=0.1,
-                image_shape=(3, 224, 224),
-            )
-            big_host = collate(
-                big_items, spatial_pos_max=big_cfg.task_cfg.spatial_pos_max,
-                node_buckets=(BIG_NODES,), node_capacity_buckets=(BIG_CAP,),
+
+    def _measure_bigtree(big_policy):
+        big_cfg = cfg.replace(
+            data=DataConfig(
+                batch_size=BATCH,
+                node_buckets=(BIG_NODES,),
+                node_capacity_buckets=(BIG_CAP,),
                 image_capacity_buckets=(IMG_CAP,),
                 label_capacity_buckets=(BIG_LCAP,),
-            ).asdict()
-            big_flops = train_step_flops(
-                big_cfg.model,
-                batch=BATCH,
-                node_capacity=big_host["input_ids"].shape[0],
-                image_capacity=big_host["images"].shape[0],
-                seq_len=big_host["input_ids"].shape[1],
-                max_nodes=big_host["in_degree"].shape[1],
+            ),
+            # this shape needs ~24G of activations without remat (v5e
+            # has 16G HBM) — exactly the remat trade-off's target regime
+            model=cfg.model.replace(remat=True, remat_policy=big_policy),
+            optim=OptimConfig(update_freq=1, bf16_adam_state=True),
+        )
+        big_trainer = Trainer(big_cfg, mesh=mesh)
+        big_items = synthetic_batch_items(
+            BATCH, seed=0, min_nodes=32, max_nodes=BIG_NODES, seq_len=SEQ,
+            vocab_size=big_cfg.model.text_tower.vocab_size, image_prob=0.1,
+            image_shape=(3, 224, 224),
+        )
+        big_host = collate(
+            big_items, spatial_pos_max=big_cfg.task_cfg.spatial_pos_max,
+            node_buckets=(BIG_NODES,), node_capacity_buckets=(BIG_CAP,),
+            image_capacity_buckets=(IMG_CAP,),
+            label_capacity_buckets=(BIG_LCAP,),
+        ).asdict()
+        big_flops = train_step_flops(
+            big_cfg.model,
+            batch=BATCH,
+            node_capacity=big_host["input_ids"].shape[0],
+            image_capacity=big_host["images"].shape[0],
+            seq_len=big_host["input_ids"].shape[1],
+            max_nodes=big_host["in_degree"].shape[1],
+        )
+        big_state = big_trainer.init_state(big_host)
+        big_step = big_trainer._make_train_step()
+        with mesh:
+            bjb = shard_batch(mesh, big_host)
+            for _ in range(2):
+                big_state, blogs = big_step(big_state, bjb)
+            _loss_value(blogs)
+            big_state, rate, blosses = _timed_window(
+                big_step, big_state, [bjb], 8
             )
-            big_state = big_trainer.init_state(big_host)
-            big_step = big_trainer._make_train_step()
-            with mesh:
-                bjb = shard_batch(mesh, big_host)
-                for _ in range(2):
-                    big_state, blogs = big_step(big_state, bjb)
-                _loss_value(blogs)
-                big_state, rate, blosses = _timed_window(
-                    big_step, big_state, [bjb], 8
-                )
-            assert all(math.isfinite(v) for v in blosses)
-            big.update(
-                bigtree_nmax=BIG_NODES,
-                bigtree_throughput=round(rate * BATCH, 3),
-                bigtree_mfu=round(big_flops["train_total"] * rate / peak, 4),
-                bigtree_remat_policy=big_policy,
-            )
-            del big_state, big_step, big_trainer, bjb
+        assert all(math.isfinite(v) for v in blosses)
+        return dict(
+            bigtree_nmax=BIG_NODES,
+            bigtree_throughput=round(rate * BATCH, 3),
+            bigtree_mfu=round(big_flops["train_total"] * rate / peak, 4),
+            bigtree_remat_policy=big_policy,
+        )
+
+    for big_policy in ("dots_saveable", "full"):
+        try:
+            # own frame: an HBM/compile failure frees its state on raise
+            big.update(_measure_bigtree(big_policy))
             gc.collect()
             break
         except Exception as e:  # headline must survive big-tree issues
@@ -408,63 +421,66 @@ def main() -> None:
     import numpy as _np
 
     FLASH_NODES = 768  # S = 769
-    for flash_policy in ("dots_saveable", "full"):
-        try:
-            flash_cfg = cfg.replace(
-                data=DataConfig(
-                    batch_size=1,
-                    node_buckets=(FLASH_NODES,),
-                    node_capacity_buckets=(FLASH_NODES,),
-                    image_capacity_buckets=(16,),
-                    label_capacity_buckets=(256,),
-                ),
-                model=cfg.model.replace(
-                    remat=True, remat_policy=flash_policy
-                ),
-                optim=OptimConfig(update_freq=1, bf16_adam_state=True),
-            )
-            flash_trainer = Trainer(flash_cfg, mesh=mesh)
-            flash_item = synthetic_item(
-                idx=0, num_nodes=FLASH_NODES, rng=_np.random.default_rng(0),
-                seq_len=SEQ, vocab_size=flash_cfg.model.text_tower.vocab_size,
-                image_prob=0.01, image_shape=(3, 224, 224),
-            )
-            flash_host = collate(
-                [flash_item],
-                spatial_pos_max=flash_cfg.task_cfg.spatial_pos_max,
+
+    def _measure_flash(flash_policy):
+        flash_cfg = cfg.replace(
+            data=DataConfig(
+                batch_size=1,
                 node_buckets=(FLASH_NODES,),
                 node_capacity_buckets=(FLASH_NODES,),
-                image_capacity_buckets=(16,), label_capacity_buckets=(256,),
-            ).asdict()
-            flash_flops = train_step_flops(
-                flash_cfg.model,
-                batch=1,
-                node_capacity=flash_host["input_ids"].shape[0],
-                image_capacity=flash_host["images"].shape[0],
-                seq_len=flash_host["input_ids"].shape[1],
-                max_nodes=flash_host["in_degree"].shape[1],
+                image_capacity_buckets=(16,),
+                label_capacity_buckets=(256,),
+            ),
+            model=cfg.model.replace(
+                remat=True, remat_policy=flash_policy
+            ),
+            optim=OptimConfig(update_freq=1, bf16_adam_state=True),
+        )
+        flash_trainer = Trainer(flash_cfg, mesh=mesh)
+        flash_item = synthetic_item(
+            idx=0, num_nodes=FLASH_NODES, rng=_np.random.default_rng(0),
+            seq_len=SEQ, vocab_size=flash_cfg.model.text_tower.vocab_size,
+            image_prob=0.01, image_shape=(3, 224, 224),
+        )
+        flash_host = collate(
+            [flash_item],
+            spatial_pos_max=flash_cfg.task_cfg.spatial_pos_max,
+            node_buckets=(FLASH_NODES,),
+            node_capacity_buckets=(FLASH_NODES,),
+            image_capacity_buckets=(16,), label_capacity_buckets=(256,),
+        ).asdict()
+        flash_flops = train_step_flops(
+            flash_cfg.model,
+            batch=1,
+            node_capacity=flash_host["input_ids"].shape[0],
+            image_capacity=flash_host["images"].shape[0],
+            seq_len=flash_host["input_ids"].shape[1],
+            max_nodes=flash_host["in_degree"].shape[1],
+        )
+        flash_state = flash_trainer.init_state(flash_host)
+        flash_step = flash_trainer._make_train_step()
+        with mesh:
+            fjb = shard_batch(mesh, flash_host)
+            for _ in range(2):
+                flash_state, flogs = flash_step(flash_state, fjb)
+            _loss_value(flogs)
+            flash_state, frate, flosses = _timed_window(
+                flash_step, flash_state, [fjb], 8
             )
-            flash_state = flash_trainer.init_state(flash_host)
-            flash_step = flash_trainer._make_train_step()
-            with mesh:
-                fjb = shard_batch(mesh, flash_host)
-                for _ in range(2):
-                    flash_state, flogs = flash_step(flash_state, fjb)
-                _loss_value(flogs)
-                flash_state, frate, flosses = _timed_window(
-                    flash_step, flash_state, [fjb], 8
-                )
-            assert all(math.isfinite(v) for v in flosses)
-            flash.update(
-                flash_s=FLASH_NODES + 1,
-                flash_throughput=round(frate, 3),
-                flash_unit="giant-discussions/sec/chip",
-                flash_mfu=round(
-                    flash_flops["train_total"] * frate / peak, 4
-                ),
-                flash_remat_policy=flash_policy,
-            )
-            del flash_state, flash_step, flash_trainer, fjb
+        assert all(math.isfinite(v) for v in flosses)
+        return dict(
+            flash_s=FLASH_NODES + 1,
+            flash_throughput=round(frate, 3),
+            flash_unit="giant-discussions/sec/chip",
+            flash_mfu=round(
+                flash_flops["train_total"] * frate / peak, 4
+            ),
+            flash_remat_policy=flash_policy,
+        )
+
+    for flash_policy in ("dots_saveable", "full"):
+        try:
+            flash.update(_measure_flash(flash_policy))
             gc.collect()
             break
         except Exception as e:

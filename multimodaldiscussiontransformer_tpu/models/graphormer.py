@@ -57,7 +57,17 @@ def graph_activation_fn(name: str):
 
 def masked_embed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Embedding lookup with torch ``padding_idx=0`` semantics: id 0 maps to
-    an exact zero vector (graphormer_layers.py:29-33, 74-80)."""
+    an exact zero vector (graphormer_layers.py:29-33, 74-80).
+
+    Ids SATURATE at the last table row: a degree/bucket beyond the table
+    (e.g. a star node with in-degree past ``num_in_degree``) reads the
+    final embedding instead of poisoning the graph — ``jnp.take``'s eager
+    default is ``mode="fill"`` (NaN!) while jit clamps, so without the
+    explicit clip the same batch is NaN eager and finite jitted. The
+    reference would crash outright here (torch nn.Embedding index
+    assert); saturating the long tail is the standard Graphormer
+    treatment and is numerically safe on both execution paths."""
+    ids = jnp.clip(ids, 0, table.shape[0] - 1)
     out = jnp.take(table, ids, axis=0)
     return jnp.where((ids == 0)[..., None], 0.0, out)
 

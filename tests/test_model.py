@@ -275,3 +275,64 @@ def test_apply_graphormer_init_transform(model_and_params):
     jb = to_jax(make_batch(items))
     out = model.apply(new, jb, deterministic=True)
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_degree_overflow_saturates_not_nan(model_and_params):
+    """A star node whose in-degree exceeds ``num_in_degree`` must SATURATE
+    at the last embedding row, never poison the forward: ``jnp.take``'s
+    default is mode="fill" (NaN for floats) on BOTH eager and jit paths,
+    which silently NaN'd whole graphs on real heavy-tailed corpora before
+    masked_embed clipped (found by the round-4 scale rehearsal; the torch
+    reference crashes on the same input instead)."""
+    from multimodaldiscussiontransformer_tpu.data.preprocess import (
+        preprocess_item,
+    )
+    from multimodaldiscussiontransformer_tpu.data.trees import (
+        tree_distance_pairs,
+    )
+    from multimodaldiscussiontransformer_tpu.models.graphormer import (
+        masked_embed,
+    )
+
+    cfg, model, params = model_and_params
+    n = cfg.num_in_degree + 8  # root in-degree n-1 > table size
+    parents = np.asarray([-1] + [0] * (n - 1), np.int64)
+    edges = [(0, i) for i in range(1, n)]
+    edge_index = np.asarray(
+        edges + [(b, a) for a, b in edges], np.int64
+    ).T
+    rng = np.random.default_rng(0)
+    tokens = {
+        "input_ids": rng.integers(1, 128, (n, 16)).astype(np.int32),
+        "token_type_ids": np.zeros((n, 16), np.int32),
+        "attention_mask": np.ones((n, 16), np.int32),
+    }
+    item = preprocess_item(
+        idx=0,
+        tokens=tokens,
+        edge_index=edge_index,
+        distance_pairs=tree_distance_pairs(parents),
+        x_images=np.zeros((0,) + IMG, np.float32),
+        x_image_index=np.zeros(n, bool),
+        y=np.asarray([1], np.int64),
+        y_mask=np.asarray([True] + [False] * (n - 1), bool),
+    )
+    batch = make_batch([item], node_buckets=(n,))
+    assert batch.asdict()["in_degree"].max() >= cfg.num_in_degree
+
+    logits = jax.jit(
+        lambda p, b: model.apply(p, b, deterministic=True).logits
+    )(params, to_jax(batch))
+    assert bool(jnp.isfinite(logits).all())
+    # eager path agrees (take's eager fill was the other half of the bug)
+    logits_eager = model.apply(params, to_jax(batch), deterministic=True).logits
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_eager), rtol=1e-5, atol=1e-6
+    )
+
+    # saturation semantics: overflowing ids read the LAST table row
+    table = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    out = masked_embed(table, jnp.asarray([[0, 1, 3, 4, 99]]))
+    np.testing.assert_array_equal(np.asarray(out[0, 0]), 0.0)  # pad -> zero
+    np.testing.assert_array_equal(np.asarray(out[0, 3]), np.asarray(table[3]))
+    np.testing.assert_array_equal(np.asarray(out[0, 4]), np.asarray(table[3]))

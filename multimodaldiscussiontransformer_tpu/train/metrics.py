@@ -15,27 +15,41 @@ import numpy as np
 
 
 class MetricAccumulator:
-    """Sums logging outputs across steps; reduces on demand."""
+    """Sums logging outputs across steps; reduces on demand.
+
+    ``update`` NEVER touches device values: it only stashes the logging
+    dict, and ``reduce`` materializes the whole window with ONE batched
+    ``jax.device_get``. The eager ``float(np.asarray(v))`` per step per key
+    this replaces was the product fit loop's hidden fence — profiled at
+    ~1.8 s/update over the tunneled chip (8 blocking D2H round-trips per
+    update; tools/trace_breakdown.py, TRACE_r04.json), the whole
+    bench-vs-CLI throughput gap."""
 
     def __init__(self, reduce_fn: Callable[[Dict[str, Any]], Dict[str, float]]):
         self._reduce_fn = reduce_fn
-        self._sums: Dict[str, float] = {}
+        self._pending: List[Dict[str, Any]] = []
         self._n_steps = 0
 
     def update(self, logging_output: Dict[str, Any]) -> None:
-        for k, v in logging_output.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(np.asarray(v))
+        self._pending.append(logging_output)
         self._n_steps += 1
 
     def reduce(self) -> Dict[str, float]:
-        if not self._sums:
+        if not self._pending:
             return {}
-        out = self._reduce_fn(self._sums)
+        import jax
+
+        window = jax.device_get(self._pending)  # one transfer, all steps
+        sums: Dict[str, float] = {}
+        for rec in window:
+            for k, v in rec.items():
+                sums[k] = sums.get(k, 0.0) + float(np.asarray(v))
+        out = self._reduce_fn(sums)
         out["steps_in_window"] = self._n_steps
         return out
 
     def reset(self) -> None:
-        self._sums = {}
+        self._pending = []
         self._n_steps = 0
 
 

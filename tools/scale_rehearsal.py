@@ -209,6 +209,10 @@ def main(argv=None) -> int:
     # model/data config: tiny towers (the model is not under test; the data
     # path is) at REAL image geometry
     model_cfg = tiny_model_config().replace(
+        # canonical-size degree tables: the corpus's heavy tail must not
+        # saturate (masked_embed clips since round 4; canonical tables 512)
+        num_in_degree=512,
+        num_out_degree=512,
         text_tower=BertTowerConfig(
             vocab_size=tokenizer.vocab_size, hidden_size=64,
             num_hidden_layers=4, num_attention_heads=4,

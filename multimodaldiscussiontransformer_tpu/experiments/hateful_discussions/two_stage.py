@@ -456,9 +456,6 @@ def run(
         tiny_model_config,
     )
     from multimodaldiscussiontransformer_tpu.core.registry import TASKS
-    from multimodaldiscussiontransformer_tpu.data.dataset import (
-        DiscussionDataset,
-    )
     from multimodaldiscussiontransformer_tpu.data.tokenizer import (
         BertWordPieceTokenizer,
     )
@@ -536,11 +533,11 @@ def run(
         label_capacity_buckets=(16, 32, 64, 128),
     )
 
-    # 4. stage 1: contrastive pre-train -------------------------------------
-    contr_items = build_contrastive_items(
-        paths["raw"], communities, tokenizer, max_length, out, image_px
-    )
-    contr_ds = DiscussionDataset.from_splits(contr_items, seed=seed)
+    # 4. stage 1: contrastive pre-train over the LAZY per-tree corpus
+    # (reuses the ingested npz via tree-map.txt — the path that holds at
+    # 10^4+ trees; build_contrastive_items remains the in-memory variant
+    # for corpora ingested elsewhere)
+    contr_ds = contrastive_dataset_from_ingest(data_root, communities, seed=seed)
     cfg1 = TrainConfig(
         model=model_cfg,
         data=data_cfg,

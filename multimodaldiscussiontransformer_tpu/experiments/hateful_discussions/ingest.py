@@ -555,22 +555,54 @@ def process(
 
         if workers and workers > 1:
             import multiprocessing as mp
+            import threading
 
             selected = list(selected_lines(f))
             ctx = mp.get_context("fork" if hasattr(os, "fork") else "spawn")
+            # BACKPRESSURE: imap queues results without bound, and the
+            # consumer (np.savez_compressed) is slower than the workers —
+            # measured 44 GB parent RSS at 8k trees (SCALE_r04.json) from
+            # pickled image-bearing items piling up. Gate the input
+            # iterator on a semaphore released per consumed tree so at
+            # most ``max_in_flight`` trees are ever in the result queue.
+            chunksize = 8
+            max_in_flight = max(8 * workers, 4 * chunksize)
+            gate = threading.BoundedSemaphore(max_in_flight)
+
+            def gated_lines():
+                for _, line in selected:
+                    gate.acquire()
+                    yield line
+
+            def released(results):
+                for r in results:
+                    gate.release()
+                    yield r
+
             with ctx.Pool(
                 workers, initializer=_ingest_worker_init, initargs=init_args
             ) as pool:
-                consume(
-                    zip(
-                        (g for g, _ in selected),
-                        pool.imap(
-                            _ingest_worker,
-                            (l for _, l in selected),
-                            chunksize=8,
-                        ),
+                try:
+                    consume(
+                        zip(
+                            (g for g, _ in selected),
+                            released(
+                                pool.imap(
+                                    _ingest_worker, gated_lines(),
+                                    chunksize=chunksize,
+                                )
+                            ),
+                        )
                     )
-                )
+                finally:
+                    # unblock imap's task-feeder thread if consumption
+                    # stopped early (exception): Pool teardown joins it,
+                    # and it may be parked on gate.acquire()
+                    for _ in range(max_in_flight):
+                        try:
+                            gate.release()
+                        except ValueError:
+                            break
         else:
             _ingest_worker_init(*init_args)
             consume(

@@ -266,6 +266,16 @@ VARIANTS = {
     # apples-to-apples for the above: the shipped recipe path w/ bf16 adam
     "uf3_scan_bf16adam": dict(remat=False, use_pallas=True, bf16_adam=True,
                               update_freq=3),
+    # Nmax=96 interpolation point (VERDICT r3 #3): fresh Nmax=128 compiles
+    # 500 in the tunnel helper; 96 is the largest shape with a chance of a
+    # fresh compile, bracketing the big-tree remat-policy A/B
+    "big_nodes96_pallas": dict(remat=True, use_pallas=True, max_nodes=96,
+                               node_cap=384, label_cap=192),
+    "big_nodes96_dots": dict(remat=True, use_pallas=True, max_nodes=96,
+                             node_cap=384, label_cap=192,
+                             remat_policy="dots_saveable"),
+    "big_nodes96_noremat": dict(remat=False, use_pallas=True, max_nodes=96,
+                                node_cap=384, label_cap=192),
     "big_nodes256": dict(remat=True, use_pallas=False, max_nodes=256,
                          node_cap=512, label_cap=256, batch=8,
                          min_window_sec=8.0),

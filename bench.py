@@ -346,7 +346,7 @@ def main() -> None:
 
     BIG_NODES, BIG_CAP, BIG_LCAP = 128, 512, 256
 
-    def _measure_bigtree(big_policy):
+    def _measure_bigtree(big_policy, scan=False):
         big_cfg = cfg.replace(
             data=DataConfig(
                 batch_size=BATCH,
@@ -357,7 +357,9 @@ def main() -> None:
             ),
             # this shape needs ~24G of activations without remat (v5e
             # has 16G HBM) — exactly the remat trade-off's target regime
-            model=cfg.model.replace(remat=True, remat_policy=big_policy),
+            model=cfg.model.replace(
+                remat=True, remat_policy=big_policy, scan_layers=scan
+            ),
             optim=OptimConfig(update_freq=1, bf16_adam_state=True),
         )
         big_trainer = Trainer(big_cfg, mesh=mesh)
@@ -396,16 +398,28 @@ def main() -> None:
             bigtree_throughput=round(rate * BATCH, 3),
             bigtree_mfu=round(big_flops["train_total"] * rate / peak, 4),
             bigtree_remat_policy=big_policy,
+            bigtree_scan_layers=scan,
         )
 
-    for big_policy in ("dots_saveable", "full"):
+    # ladder (round 5): layer-scan shrinks the compiled program ~4x, which
+    # unblocks the selective-remat policies the tunnel's fresh-compile 500
+    # rejected unscanned (BIGTREE_SWEEP_r04) — try the cheapest-backward
+    # policy first under scan, fall back down to the r4 known-good
+    # unscanned full-remat program
+    for big_policy, big_scan in (
+        ("dots_saveable", True),
+        ("names", True),
+        ("full", True),
+        ("full", False),
+    ):
         try:
             # own frame: an HBM/compile failure frees its state on raise
-            big.update(_measure_bigtree(big_policy))
+            big.update(_measure_bigtree(big_policy, big_scan))
             gc.collect()
             break
         except Exception as e:  # headline must survive big-tree issues
-            big[f"bigtree_{big_policy}_error"] = repr(e)[:400]
+            tag = ("scan_" if big_scan else "") + big_policy
+            big[f"bigtree_{tag}_error"] = repr(e)[:400]
             gc.collect()
 
     # flash bucket (VERDICT r2 weak 7): ONE giant tree past the flash
@@ -422,7 +436,7 @@ def main() -> None:
 
     FLASH_NODES = 768  # S = 769
 
-    def _measure_flash(flash_policy):
+    def _measure_flash(flash_policy, scan=False):
         flash_cfg = cfg.replace(
             data=DataConfig(
                 batch_size=1,
@@ -432,7 +446,7 @@ def main() -> None:
                 label_capacity_buckets=(256,),
             ),
             model=cfg.model.replace(
-                remat=True, remat_policy=flash_policy
+                remat=True, remat_policy=flash_policy, scan_layers=scan
             ),
             optim=OptimConfig(update_freq=1, bf16_adam_state=True),
         )
@@ -476,16 +490,85 @@ def main() -> None:
                 flash_flops["train_total"] * frate / peak, 4
             ),
             flash_remat_policy=flash_policy,
+            flash_scan_layers=scan,
         )
 
-    for flash_policy in ("dots_saveable", "full"):
+    for flash_policy, flash_scan in (
+        ("dots_saveable", True),
+        ("names", True),
+        ("full", True),
+        ("full", False),
+    ):
         try:
-            flash.update(_measure_flash(flash_policy))
+            flash.update(_measure_flash(flash_policy, flash_scan))
             gc.collect()
             break
         except Exception as e:
-            flash[f"flash_{flash_policy}_error"] = repr(e)[:400]
+            tag = ("scan_" if flash_scan else "") + flash_policy
+            flash[f"flash_{tag}_error"] = repr(e)[:400]
             gc.collect()
+
+    # contrastive stage-1 bucket (VERDICT r4 missing #3): the two-stage
+    # recipe's pre-training criterion (reference contrastive_loss.py:52-227,
+    # restored at run_train.sh:57-58) at the canonical geometry and cadence
+    # — roughly half the published workflow's compute, previously unbenched
+    contrastive = {}
+
+    def _measure_contrastive():
+        con_cfg = cfg.replace(
+            task="contrastive_learning",
+            criterion="contrastive_loss",
+            optim=OptimConfig(update_freq=3, bf16_adam_state=True),
+        )
+        con_trainer = Trainer(con_cfg, mesh=mesh)
+        con_items = synthetic_batch_items(
+            BATCH, seed=0, min_nodes=8, max_nodes=MAX_NODES, seq_len=SEQ,
+            vocab_size=con_cfg.model.text_tower.vocab_size, image_prob=0.25,
+            image_shape=(3, 224, 224), contrastive=True,
+        )
+        con_host = collate(
+            con_items, spatial_pos_max=con_cfg.task_cfg.spatial_pos_max,
+            node_buckets=(MAX_NODES,), node_capacity_buckets=(NODE_CAP,),
+            image_capacity_buckets=(IMG_CAP,),
+            label_capacity_buckets=(LABEL_CAP,), contrastive=True,
+        ).asdict()
+        con_flops = train_step_flops(
+            con_cfg.model,
+            batch=BATCH,
+            node_capacity=con_host["input_ids"].shape[0],
+            image_capacity=con_host["images"].shape[0],
+            seq_len=con_host["input_ids"].shape[1],
+            max_nodes=con_host["in_degree"].shape[1],
+        )
+        con_state = con_trainer.init_state(con_host)
+        con_step = con_trainer._make_train_step_scan()
+        con_stacked = {
+            k: np.stack([v] * cfg.optim.update_freq)
+            for k, v in con_host.items()
+        }
+        with mesh:
+            cjb = shard_stacked_batch(mesh, con_stacked)
+            for _ in range(2):
+                con_state, clogs = con_step(con_state, cjb)
+            _loss_value(clogs)
+            con_state, crate, closses = _timed_window(
+                con_step, con_state, [cjb], 12
+            )
+        assert all(math.isfinite(v) for v in closses)
+        return dict(
+            contrastive_throughput=round(crate * uf * BATCH, 3),
+            contrastive_unit="discussions/sec/chip",
+            contrastive_mfu=round(
+                con_flops["train_total"] * uf * crate / peak, 4
+            ),
+        )
+
+    try:
+        contrastive.update(_measure_contrastive())
+        gc.collect()
+    except Exception as e:
+        contrastive["contrastive_error"] = repr(e)[:400]
+        gc.collect()
 
     discussions_per_sec = steps_per_sec * uf * BATCH
     print(
@@ -496,6 +579,17 @@ def main() -> None:
                 "unit": "discussions/sec/chip",
                 "vs_baseline": round(
                     discussions_per_sec / BASELINE_DISCUSSIONS_PER_SEC, 3
+                ),
+                # the baseline is DERIVED, not measured (VERDICT r4 #1/#6):
+                # the reference publishes no throughput; 10.8 disc/s comes
+                # from its own budget (10,820 updates x batch 12 x uf 3
+                # inside the 10 h SLURM wall-clock, run_train.sh:3,44,62,65).
+                # A reference re-run on a real A100 would replace it
+                # (BASELINE.md documents the one-command procedure).
+                "baseline_provenance": (
+                    "derived: 10820 updates x 36 disc / 10h SLURM budget "
+                    "(run_train.sh) ~= 10.8 disc/s on A100; not a "
+                    "measured number"
                 ),
                 "chip": chip,
                 "peak_flops_assumed": peak,
@@ -531,10 +625,17 @@ def main() -> None:
                     "flash.model.remat_policy": flash.get(
                         "flash_remat_policy"
                     ),
+                    "bigtree.model.scan_layers": big.get(
+                        "bigtree_scan_layers"
+                    ),
+                    "flash.model.scan_layers": flash.get(
+                        "flash_scan_layers"
+                    ),
                 },
                 **parity,
                 **big,
                 **flash,
+                **contrastive,
             }
         )
     )

@@ -199,8 +199,24 @@ class ModelConfig:
     # batch dims; "dots_saveable" = save ALL matmul outputs and recompute
     # only the cheap elementwise ops (LN/gelu/bias/dropout-mask math) —
     # a middle ground between remat off (all activations resident) and
-    # full remat (whole-block recompute) for the big-tree regime.
+    # full remat (whole-block recompute) for the big-tree regime;
+    # "names" = save exactly the checkpoint_name-tagged tensors (each
+    # layer's attention and FFN outputs, models/{graphormer,bert,vit}.py)
+    # — a finer rung between "full" and "dots_saveable": O(layers * S * D)
+    # residuals instead of dots_saveable's O(layers * S * ffn_dim) saved
+    # matmul outputs, for shapes where dots_saveable overflows HBM.
     remat_policy: str = "full"
+    # Layer-scan: run the structurally identical interleave pairs
+    # (graph_stack_i + fusion_stack_{i+1}, models/mdt.py) as ONE nn.scan
+    # body over stacked params, and likewise the bottom-tower layer stacks
+    # — numerically identical to the unrolled model (same ops, params
+    # sliced per iteration) with an HLO ~n_pairs x smaller. This is the
+    # compile-payload lever for the tunnel's fresh-big-shape 500s
+    # (BIGTREE_SWEEP_r04) and for batch-36-as-one-program. Param layout
+    # changes (stacked leading axis, utils/scan_params.py converts);
+    # checkpoints written under one layout need converting to load under
+    # the other (Trainer.load_params adapts automatically).
+    scan_layers: bool = False
 
     @property
     def num_fusion_stacks(self) -> int:

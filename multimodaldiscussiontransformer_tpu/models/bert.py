@@ -27,6 +27,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from flax import linen as nn
 
 from multimodaldiscussiontransformer_tpu.models.fast_dropout import FastDropout
@@ -186,10 +187,14 @@ class BertLayer(nn.Module):
         attn = self.attention_output_dense(attn)
         attn = self.hidden_dropout(attn, deterministic=deterministic)
         hidden = self.attention_output_layernorm(attn + hidden)
+        # remat_policy="names" saveables (identity outside jax.checkpoint)
+        hidden = _checkpoint_name(hidden, "attn_out")
         inter = act_fn(self.config.hidden_act)(self.intermediate_dense(hidden))
         out = self.output_dense(inter)
         out = self.hidden_dropout(out, deterministic=deterministic)
-        return self.output_layernorm(out + hidden)
+        return _checkpoint_name(
+            self.output_layernorm(out + hidden), "ffn_out"
+        )
 
 
 class BertEmbeddings(nn.Module):
@@ -257,14 +262,23 @@ class BertBottomTower(nn.Module):
     num_layers: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # ModelConfig.scan_layers: run the uniform layer stack as one nn.scan
+    # body over params stacked on a leading axis (param name "scan_layers"
+    # instead of layer_0..n-1; utils/scan_params.py converts layouts)
+    scan_layers: bool = False
 
     def setup(self) -> None:
         self.embeddings = BertEmbeddings(self.config, self.dtype, self.param_dtype)
-        self.layer = [
-            BertLayer(self.config, self.dtype, self.param_dtype, name=f"layer_{i}")
-            for i in range(self.num_layers)
-        ]
+        self.layer = (
+            []
+            if self.scan_layers
+            else [
+                BertLayer(self.config, self.dtype, self.param_dtype, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
+        )
 
+    @nn.compact
     def __call__(
         self,
         input_ids: jnp.ndarray,
@@ -274,6 +288,25 @@ class BertBottomTower(nn.Module):
     ) -> jnp.ndarray:
         hidden = self.embeddings(input_ids, token_type_ids, deterministic)
         bias = attention_mask_bias(attention_mask, hidden.dtype)
+        if self.scan_layers and self.num_layers > 0:
+            def body(lyr, carry, _):
+                return lyr(carry, bias, deterministic), None
+
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+            )
+            hidden, _ = scan(
+                BertLayer(
+                    self.config, self.dtype, self.param_dtype,
+                    name="scan_layers",
+                ),
+                hidden,
+                None,
+            )
+            return hidden
         for lyr in self.layer:
             hidden = lyr(hidden, bias, deterministic)
         return hidden

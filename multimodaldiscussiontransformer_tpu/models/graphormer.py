@@ -23,6 +23,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from flax import linen as nn
 
 from multimodaldiscussiontransformer_tpu.models.fast_dropout import FastDropout
@@ -61,12 +62,13 @@ def masked_embed(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
     Ids SATURATE at the last table row: a degree/bucket beyond the table
     (e.g. a star node with in-degree past ``num_in_degree``) reads the
-    final embedding instead of poisoning the graph — ``jnp.take``'s eager
-    default is ``mode="fill"`` (NaN!) while jit clamps, so without the
-    explicit clip the same batch is NaN eager and finite jitted. The
-    reference would crash outright here (torch nn.Embedding index
-    assert); saturating the long tail is the standard Graphormer
-    treatment and is numerically safe on both execution paths."""
+    final embedding instead of poisoning the graph — ``jnp.take`` defaults
+    to ``mode="fill"`` (NaN for floats) on BOTH eager and jitted execution
+    (pinned by tests/test_model.py::test_degree_overflow_saturates_not_nan),
+    so without the explicit clip one overflowing id silently NaNs the whole
+    graph either way. The reference would crash outright here (torch
+    nn.Embedding index assert); saturating the long tail is the standard
+    Graphormer treatment and is numerically safe on both execution paths."""
     ids = jnp.clip(ids, 0, table.shape[0] - 1)
     out = jnp.take(table, ids, axis=0)
     return jnp.where((ids == 0)[..., None], 0.0, out)
@@ -351,6 +353,9 @@ class GraphormerGraphEncoderLayer(nn.Module):
         x = residual + x
         if not pre:
             x = self.self_attn_layer_norm(x)
+        # remat_policy="names": the post-attention residual stream is a
+        # saveable (identity outside jax.checkpoint)
+        x = _checkpoint_name(x, "attn_out")
 
         residual = x
         if pre:
@@ -362,7 +367,7 @@ class GraphormerGraphEncoderLayer(nn.Module):
         x = residual + x
         if not pre:
             x = self.final_layer_norm(x)
-        return x
+        return _checkpoint_name(x, "ffn_out")
 
 
 class GraphEncoderStack(nn.Module):

@@ -74,6 +74,79 @@ def _stack_sizes(total: int, chunk: int) -> list:
     return [min(chunk, total - i) for i in range(0, total, chunk)]
 
 
+def _scan_pair_count(sizes: list) -> int:
+    """How many leading interleave pairs are structurally identical and can
+    run as one ``nn.scan`` body (pair ``i`` couples ``graph_stack_i`` with
+    ``fusion_stack_{i+1}``). All fusion stacks except possibly the last have
+    ``num_fusion_stack`` layers, so this is ``n_pairs`` (uniform) or
+    ``n_pairs - 1`` (ragged final stack, e.g. canonical sizes [2,2,2,2,1])."""
+    n_pairs = len(sizes) - 1
+    if n_pairs <= 0:
+        return 0
+    return n_pairs if sizes[-1] == sizes[1] else n_pairs - 1
+
+
+def _remat_policy(name: str):
+    """remat_policy string -> jax.checkpoint policy (None = "full")."""
+    return {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_saveable": jax.checkpoint_policies.dots_saveable,
+        # save exactly the per-layer attention/FFN outputs tagged with
+        # jax.ad_checkpoint.checkpoint_name in the layer modules — the
+        # O(S*D) residual rung between "full" and "dots_saveable"
+        "names": jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "ffn_out"
+        ),
+    }.get(name)
+
+
+class InterleavePairBlock(nn.Module):
+    """One interleave iteration — graph stack, bottleneck pull, fusion
+    stack, bottleneck push (ref multigraphormer_graph_encoder.py:413-439) —
+    as a scannable unit. Under ``ModelConfig.scan_layers`` the uniform pairs
+    run as one ``nn.scan`` over params stacked on a leading axis: the HLO
+    contains ONE pair body instead of ``n_pairs`` copies (the
+    compile-payload shrink; utils/scan_params.py converts layouts)."""
+
+    config: ModelConfig
+    num_fusion: int
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, attn_bias, key_padding_mask, mask_bias,
+                 image_node, flat_idx):
+        c = self.config
+        x, bert, vit, bn = carry
+        bsz, s, d = x.shape
+        nmax = s - 1
+        x = GraphEncoderStack(
+            c, c.num_graph_stack, self.dtype, self.param_dtype,
+            name="graph_stack",
+        )(x, attn_bias, key_padding_mask, self.deterministic)
+        node_states = (
+            x[:, 1:, :]
+            .reshape(bsz * nmax, d)
+            .at[flat_idx]
+            .get(mode="fill", fill_value=0)
+        )
+        bn = bn.at[:, 0, :].set(node_states)
+        bert, vit, bn = GraphFusionStack(
+            c, self.num_fusion, self.dtype, self.param_dtype,
+            name="fusion_stack",
+        )(bert, vit, bn, mask_bias, image_node, self.deterministic)
+        tail = (
+            x[:, 1:, :]
+            .reshape(bsz * nmax, d)
+            .at[flat_idx]
+            .set(bn[:, 0, :], mode="drop")
+            .reshape(bsz, nmax, d)
+        )
+        x = jnp.concatenate([x[:, :1, :], tail], axis=1)
+        return (x, bert, vit, bn)
+
+
 class MultiGraphormerGraphEncoder(nn.Module):
     """The core interleaved text/image/graph encoder."""
 
@@ -84,19 +157,31 @@ class MultiGraphormerGraphEncoder(nn.Module):
     def setup(self) -> None:
         c = self.config
         self.text_model = BertBottomTower(
-            c.text_tower, c.num_bottom_text_layers, self.dtype, self.param_dtype
+            c.text_tower, c.num_bottom_text_layers, self.dtype, self.param_dtype,
+            scan_layers=c.scan_layers,
         )
         if c.use_image_tower:
             self.vit_model = ViTBottomTower(
-                c.image_tower, c.num_bottom_image_layers, self.dtype, self.param_dtype
+                c.image_tower, c.num_bottom_image_layers, self.dtype, self.param_dtype,
+                scan_layers=c.scan_layers,
             )
         sizes = _stack_sizes(c.num_fusion_layers + 1, c.num_fusion_stack)
+        n_scan = _scan_pair_count(sizes) if c.scan_layers else 0
+        # scanned pair indices (graph_stack_i for i < n_scan and
+        # fusion_stack_{i+1} for i+1 <= n_scan) are created inside the
+        # compact __call__'s nn.scan under the single name "scan_pairs";
+        # everything else keeps its unrolled name so checkpoints and the
+        # layout transforms only touch the scanned range
         self.fusion_layers = [
-            GraphFusionStack(c, n, self.dtype, self.param_dtype, name=f"fusion_stack_{i}")
+            None
+            if (0 < i <= n_scan)
+            else GraphFusionStack(c, n, self.dtype, self.param_dtype, name=f"fusion_stack_{i}")
             for i, n in enumerate(sizes)
         ]
         self.layers = [
-            GraphEncoderStack(
+            None
+            if i < n_scan
+            else GraphEncoderStack(
                 c, c.num_graph_stack, self.dtype, self.param_dtype, name=f"graph_stack_{i}"
             )
             for i in range(len(sizes) + 1)
@@ -113,6 +198,7 @@ class MultiGraphormerGraphEncoder(nn.Module):
             self.emb_layer_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)
         self.emb_dropout = FastDropout(c.dropout)
 
+    @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], deterministic: bool = True) -> EncoderOutput:
         c = self.config
         d = c.encoder_embed_dim
@@ -122,16 +208,15 @@ class MultiGraphormerGraphEncoder(nn.Module):
         cap, seq = input_ids.shape
         bsz, nmax = batch["in_degree"].shape
 
-        if c.remat and not deterministic:
-            # remat_policy "dots"/"dots_saveable" keeps matmul outputs
-            # resident and recomputes only elementwise ops in the backward
+        use_remat = c.remat and not deterministic
+        if use_remat:
+            # remat_policy "dots"/"dots_saveable"/"names" keeps selected
+            # tensors resident and recomputes the rest in the backward
             # (see core/config.py); "full" recomputes the whole block
-            policy = {
-                "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                "dots_saveable": jax.checkpoint_policies.dots_saveable,
-            }.get(c.remat_policy)
+            policy = _remat_policy(c.remat_policy)
             maybe_remat = lambda f: jax.checkpoint(f, policy=policy)  # noqa: E731
         else:
+            policy = None
             maybe_remat = lambda f: f  # noqa: E731
 
         # ---- bottom towers (ref forward lines 321-337) ----
@@ -209,7 +294,42 @@ class MultiGraphormerGraphEncoder(nn.Module):
 
         # ---- interleave (ref 413-439): zip(layers, fusion[1:]) ----
         n_pairs = len(self.fusion_layers) - 1
-        for i in range(n_pairs):
+        sizes = _stack_sizes(c.num_fusion_layers + 1, c.num_fusion_stack)
+        n_scan = _scan_pair_count(sizes) if c.scan_layers else 0
+        if n_scan > 0:
+            # layer-scan: the uniform pairs as ONE scan body over stacked
+            # params — numerically identical to the unrolled loop (params
+            # sliced per iteration), HLO ~n_scan x smaller (the
+            # compile-payload lever; see ModelConfig.scan_layers)
+            body_cls = (
+                nn.remat(InterleavePairBlock, policy=policy)
+                if use_remat
+                else InterleavePairBlock
+            )
+
+            def pair_body(blk, carry, _):
+                return (
+                    blk(
+                        carry, attn_bias, key_padding_mask, mask_bias,
+                        image_node, flat_idx,
+                    ),
+                    None,
+                )
+
+            scan = nn.scan(
+                pair_body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=n_scan,
+            )
+            blk = body_cls(
+                c, sizes[1], deterministic, self.dtype, self.param_dtype,
+                name="scan_pairs",
+            )
+            (x, bert_out, vit_out, bn), _ = scan(
+                blk, (x, bert_out, vit_out, bn), None
+            )
+        for i in range(n_scan, n_pairs):
             x = run_graph(self.layers[i], x)
             # bottleneck token 0 <- graph node states at real slots (ref 423-425)
             node_states = (

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from flax import linen as nn
 
 from multimodaldiscussiontransformer_tpu.models.fast_dropout import FastDropout
@@ -56,13 +58,14 @@ class ViTLayer(nn.Module):
         attn = self.attention(self.layernorm_before(hidden), None, deterministic)
         attn = self.attention_output_dense(attn)
         attn = self.hidden_dropout(attn, deterministic=deterministic)
-        hidden = hidden + attn
+        # remat_policy="names" saveables (identity outside jax.checkpoint)
+        hidden = _checkpoint_name(hidden + attn, "attn_out")
         mlp = act_fn(self.config.hidden_act)(
             self.intermediate_dense(self.layernorm_after(hidden))
         )
         mlp = self.output_dense(mlp)
         mlp = self.hidden_dropout(mlp, deterministic=deterministic)
-        return hidden + mlp
+        return _checkpoint_name(hidden + mlp, "ffn_out")
 
 
 class ViTEmbeddings(nn.Module):
@@ -149,19 +152,46 @@ class ViTBottomTower(nn.Module):
     num_layers: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    # ModelConfig.scan_layers: uniform layer stack as one nn.scan body over
+    # stacked params (name "scan_layers"; utils/scan_params.py converts)
+    scan_layers: bool = False
 
     def setup(self) -> None:
         self.embeddings = ViTEmbeddings(self.config, self.dtype, self.param_dtype)
-        self.layer = [
-            ViTLayer(self.config, self.dtype, self.param_dtype, name=f"layer_{i}")
-            for i in range(self.num_layers)
-        ]
+        self.layer = (
+            []
+            if self.scan_layers
+            else [
+                ViTLayer(self.config, self.dtype, self.param_dtype, name=f"layer_{i}")
+                for i in range(self.num_layers)
+            ]
+        )
         self.layernorm = nn.LayerNorm(
             epsilon=self.config.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype
         )
 
+    @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         hidden = self.embeddings(pixel_values, deterministic)
+        if self.scan_layers and self.num_layers > 0:
+            def body(lyr, carry, _):
+                return lyr(carry, deterministic), None
+
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+            )
+            hidden, _ = scan(
+                ViTLayer(
+                    self.config, self.dtype, self.param_dtype,
+                    name="scan_layers",
+                ),
+                hidden,
+                None,
+            )
+            return self.layernorm(hidden)
         for lyr in self.layer:
             hidden = lyr(hidden, deterministic)
         return self.layernorm(hidden)

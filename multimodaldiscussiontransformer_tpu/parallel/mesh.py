@@ -262,11 +262,17 @@ _TP_RULES = (
 )
 
 
-def _spec_for_path(path: str) -> P:
+def _spec_for_path(path: str, ndim: Optional[int] = None) -> P:
     leaf = path.rsplit("/", 1)[-1]
     for pat, by_leaf in _TP_RULES:
         if pat.search(path):
-            return by_leaf.get(leaf, P())
+            s = by_leaf.get(leaf, P())
+            # layer-scanned params carry a leading stack axis (kernel 3-D,
+            # bias 2-D; ModelConfig.scan_layers): the tp rule applies to
+            # the trailing per-layer dims, the stack axis stays replicated
+            if ndim is not None and len(s) > 0 and ndim == len(s) + 1:
+                s = P(None, *s)
+            return s
     return P()
 
 
@@ -302,7 +308,7 @@ def param_sharding(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
     def spec(path, leaf) -> NamedSharding:
         s = P()
         if mesh.shape[TP_AXIS] > 1:
-            s = _spec_for_path(path_str(path))
+            s = _spec_for_path(path_str(path), leaf.ndim)
             if not divides(leaf, s):  # tiny test configs
                 s = P()
         if fsdp and mesh.shape[DP_AXIS] > 1 and leaf.ndim >= 2:

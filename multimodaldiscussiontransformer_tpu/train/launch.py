@@ -224,10 +224,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize fusion+graph blocks (enable for "
                         "bigger-than-HBM configs; costs ~21%% throughput)")
     p.add_argument("--remat-policy", default="full",
-                   choices=("full", "dots", "dots_saveable"),
+                   choices=("full", "dots", "dots_saveable", "names"),
                    help="what remat saves: full=recompute whole blocks; "
                         "dots/dots_saveable=keep matmul outputs, recompute "
-                        "only elementwise ops (cheaper backward, more HBM)")
+                        "only elementwise ops (cheaper backward, more HBM); "
+                        "names=keep only per-layer attention/FFN outputs "
+                        "(between full and dots_saveable)")
+    p.add_argument("--scan-layers", action="store_true", default=False,
+                   help="run the uniform interleave pairs and tower stacks "
+                        "as one nn.scan body over stacked params: identical "
+                        "numerics, ~4x smaller compiled program (param "
+                        "layout changes; checkpoints auto-convert on "
+                        "--restore-file + --reset-optimizer)")
     p.add_argument("--use-pallas-attention", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fused Pallas tree-attention kernel (default on; "
@@ -456,6 +464,12 @@ def config_from_args(args) -> "TrainConfig":
         # an sp mesh axis is only useful if the model routes its graph
         # attention through the ring — enable it together
         model = model.replace(sequence_parallel=True)
+    if args.scan_layers:
+        model = model.replace(scan_layers=True)
+    if args.remat and not model.remat:
+        model = model.replace(remat=True)  # e.g. --tiny --remat
+    if args.remat and model.remat_policy != args.remat_policy:
+        model = model.replace(remat_policy=args.remat_policy)
 
     def ladder(spec, default):
         if spec is None:

@@ -25,31 +25,48 @@ class MetricAccumulator:
     update; tools/trace_breakdown.py, TRACE_r04.json), the whole
     bench-vs-CLI throughput gap."""
 
+    # Each pending record holds one set of small device buffers; the window
+    # is normally bounded by log_interval (fit folds every reduce()), but a
+    # very long evaluate() sweep or a huge log_interval would otherwise
+    # accumulate unboundedly — past this cap the window folds into host
+    # sums early (one batched device_get per MAX_PENDING steps).
+    MAX_PENDING = 4096
+
     def __init__(self, reduce_fn: Callable[[Dict[str, Any]], Dict[str, float]]):
         self._reduce_fn = reduce_fn
         self._pending: List[Dict[str, Any]] = []
+        self._sums: Dict[str, float] = {}
         self._n_steps = 0
 
     def update(self, logging_output: Dict[str, Any]) -> None:
         self._pending.append(logging_output)
         self._n_steps += 1
+        if len(self._pending) >= self.MAX_PENDING:
+            self._fold()
 
-    def reduce(self) -> Dict[str, float]:
+    def _fold(self) -> None:
+        """Materialize the pending window into host-side sums."""
         if not self._pending:
-            return {}
+            return
         import jax
 
         window = jax.device_get(self._pending)  # one transfer, all steps
-        sums: Dict[str, float] = {}
+        self._pending = []
         for rec in window:
             for k, v in rec.items():
-                sums[k] = sums.get(k, 0.0) + float(np.asarray(v))
-        out = self._reduce_fn(sums)
+                self._sums[k] = self._sums.get(k, 0.0) + float(np.asarray(v))
+
+    def reduce(self) -> Dict[str, float]:
+        if not self._pending and not self._sums:
+            return {}
+        self._fold()
+        out = self._reduce_fn(self._sums)
         out["steps_in_window"] = self._n_steps
         return out
 
     def reset(self) -> None:
         self._pending = []
+        self._sums = {}
         self._n_steps = 0
 
 

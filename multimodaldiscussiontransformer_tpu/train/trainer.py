@@ -209,7 +209,15 @@ class Trainer:
 
     def load_params(self, state: TrainState, params: Any) -> TrainState:
         """Swap in externally-built params (HF import / checkpoint restore);
-        re-inits optimizer state (the --reset-optimizer path, run_train.sh:63)."""
+        re-inits optimizer state (the --reset-optimizer path, run_train.sh:63).
+
+        Layout-adapting: params written by an unrolled model load into a
+        ``scan_layers`` model and vice versa (utils/scan_params.py)."""
+        from multimodaldiscussiontransformer_tpu.utils.scan_params import (
+            adapt_params,
+        )
+
+        params = adapt_params(params, self.cfg.model)
         if self.host_count > 1:
             params = jax.device_get(params)  # see init_state
         params = shard_params(self.mesh, params, fsdp=self.cfg.fsdp)
@@ -531,13 +539,21 @@ class Trainer:
                     # global (C_global, K) logits, in global row order —
                     # they line up 1:1 with the LOCAL ``host`` batch
                     # (put_host_local places host h at rows
-                    # [h*cap_local, (h+1)*cap_local))
-                    shards = sorted(
-                        garr.addressable_shards,
-                        key=lambda s: s.index[0].start or 0,
-                    )
+                    # [h*cap_local, (h+1)*cap_local)). DEDUPE by row range:
+                    # with tp/sp in the mesh the logits (P(data_axes, None))
+                    # replicate over those axes, so each row range appears
+                    # once per replicating device — concatenating raw
+                    # addressable_shards would duplicate blocks and
+                    # silently misalign ``slots`` (ADVICE r4 medium).
+                    by_start = {}
+                    for s in garr.addressable_shards:
+                        by_start.setdefault(s.index[0].start or 0, s)
                     logits = np.concatenate(
-                        [np.asarray(s.data) for s in shards], axis=0
+                        [
+                            np.asarray(by_start[k].data)
+                            for k in sorted(by_start)
+                        ],
+                        axis=0,
                     ).astype(np.float32)
                 else:
                     logits = np.asarray(

@@ -74,6 +74,17 @@ class Checkpointer:
         self._keep = keep
         self._async = bool(async_save)
         self._async_timeout = float(async_timeout_sec)
+        # baseline of executor threads that exist BEFORE any orbax manager
+        # is built: _downgrade_to_sync only unhooks threads created after
+        # this point (orbax's save pools), never unrelated components'
+        # (ADVICE r4: clearing the whole registry could drop other
+        # executors' pending work at shutdown)
+        try:
+            import concurrent.futures.thread as _cft
+
+            self._tq_baseline = set(_cft._threads_queues.keys())
+        except Exception:  # private CPython detail (3.8-3.13); best-effort
+            self._tq_baseline = set()
         self._build_managers(self._async)
 
     def _build_managers(self, async_save: bool) -> None:
@@ -129,14 +140,23 @@ class Checkpointer:
 
     def _downgrade_to_sync(self) -> None:
         """Abandon the wedged async managers (closing them would block on
-        the same stuck barrier) and rebuild synchronous ones. Also unhook
-        any executor threads from the interpreter's atexit join so a stuck
-        commit thread cannot hang process shutdown."""
+        the same stuck barrier) and rebuild synchronous ones. Unhook the
+        MANAGERS' executor threads from the interpreter's atexit join so a
+        stuck commit thread cannot hang process shutdown — scoped to
+        threads created after this Checkpointer was built (orbax's pools),
+        so unrelated executors keep their shutdown join.
+
+        ``_threads_queues`` is a private CPython internal (stable across
+        3.8-3.13, checked at import via the try/except); if it moves, the
+        downgrade still works and only the shutdown-join unhook is lost
+        (worst case: interpreter exit blocks on the wedged thread)."""
         self._async = False
         try:
             import concurrent.futures.thread as _cft
 
-            _cft._threads_queues.clear()  # never join wedged pool threads
+            for t in list(_cft._threads_queues.keys()):
+                if t not in self._tq_baseline:
+                    _cft._threads_queues.pop(t, None)
         except Exception:
             pass
         self._build_managers(False)
@@ -184,7 +204,12 @@ class Checkpointer:
             if not ok:
                 self._downgrade_to_sync()
                 # the wedged attempt may have partially created the step
-                # dir; force overwrites it synchronously
+                # dir; force overwrites it synchronously. The abandoned
+                # thread is not dead — if it later unwedges it could write
+                # into the same dir, so the step is recorded as suspect
+                # (restore-side operators can verify or prefer an earlier
+                # step; ADVICE r4)
+                self._mark_suspect(step)
                 do_save(self.manager, force=True)
         else:
             do_save(self.manager)
@@ -195,6 +220,7 @@ class Checkpointer:
                 )
                 if not ok:
                     self._downgrade_to_sync()
+                    self._mark_suspect(step)
                     do_save(self._best_manager, force=True)
             else:
                 do_save(self._best_manager)
@@ -203,6 +229,19 @@ class Checkpointer:
                     os.path.join(self.save_dir, "best_step.txt"), "w"
                 ) as f:
                     f.write(str(step))
+
+    def _mark_suspect(self, step: int) -> None:
+        """Append ``step`` to save_dir/suspect_steps.txt: its directory was
+        force-rewritten after a watchdog timeout while the abandoned async
+        thread might still hold a handle to it."""
+        try:
+            if jax.process_index() == 0:
+                with open(
+                    os.path.join(self.save_dir, "suspect_steps.txt"), "a"
+                ) as f:
+                    f.write(f"{step}\n")
+        except OSError:
+            pass
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -36,6 +36,7 @@ def run_variant(
     tower_pallas: bool = False,  # matches the measured product default
     bf16_adam: bool = False,
     remat_policy: str = "full",
+    scan_layers: bool = False,
 ):
     import jax
 
@@ -78,6 +79,7 @@ def run_variant(
         model=cfg.model.replace(
             remat=remat,
             remat_policy=remat_policy,
+            scan_layers=scan_layers,
             use_pallas_attention=use_pallas,
             text_tower=_towers_dc.replace(
                 cfg.model.text_tower, use_pallas_attention=tower_pallas
@@ -276,6 +278,54 @@ VARIANTS = {
                              remat_policy="dots_saveable"),
     "big_nodes96_noremat": dict(remat=False, use_pallas=True, max_nodes=96,
                                 node_cap=384, label_cap=192),
+    # ---- round-5 layer-scan A/Bs (VERDICT r4 #1/#2/#3): nn.scan over the
+    # uniform interleave pairs + tower stacks shrinks the compiled program
+    # ~4x — the lever aimed at the tunnel's fresh-big-shape compile 500s
+    # (BIGTREE_SWEEP_r04) and the batch-36 forward-ceiling block ----
+    "scan_canon_uf3": dict(remat=False, use_pallas=True, bf16_adam=True,
+                           update_freq=3, scan_layers=True),
+    "scan_big128_full": dict(remat=True, use_pallas=True, max_nodes=128,
+                             node_cap=512, label_cap=256, scan_layers=True),
+    "scan_big128_names": dict(remat=True, use_pallas=True, max_nodes=128,
+                              node_cap=512, label_cap=256, scan_layers=True,
+                              remat_policy="names"),
+    "scan_big128_dots": dict(remat=True, use_pallas=True, max_nodes=128,
+                             node_cap=512, label_cap=256, scan_layers=True,
+                             remat_policy="dots_saveable"),
+    "scan_big128_noremat": dict(remat=False, use_pallas=True, max_nodes=128,
+                                node_cap=512, label_cap=256,
+                                scan_layers=True),
+    "scan_big96_full": dict(remat=True, use_pallas=True, max_nodes=96,
+                            node_cap=384, label_cap=192, scan_layers=True),
+    "scan_big96_names": dict(remat=True, use_pallas=True, max_nodes=96,
+                             node_cap=384, label_cap=192, scan_layers=True,
+                             remat_policy="names"),
+    "scan_big96_dots": dict(remat=True, use_pallas=True, max_nodes=96,
+                            node_cap=384, label_cap=192, scan_layers=True,
+                            remat_policy="dots_saveable"),
+    "scan_big96_noremat": dict(remat=False, use_pallas=True, max_nodes=96,
+                               node_cap=384, label_cap=192,
+                               scan_layers=True),
+    # unscanned "names" rung completes the remat ladder at 128
+    "big_nodes128_names": dict(remat=True, use_pallas=True, max_nodes=128,
+                               node_cap=512, label_cap=256,
+                               remat_policy="names"),
+    "big_nodes96_names": dict(remat=True, use_pallas=True, max_nodes=96,
+                              node_cap=384, label_cap=192,
+                              remat_policy="names"),
+    # batch-36-as-one-program retry under layer-scan (forward-ceiling
+    # raiser, previously compile-blocked by payload size)
+    "scan_batch36_uf1": dict(remat=False, use_pallas=True, bf16_adam=True,
+                             batch=36, node_cap=768, img_cap=192,
+                             label_cap=384, scan_layers=True),
+    "scan_batch36_dots": dict(remat=True, remat_policy="dots_saveable",
+                              use_pallas=True, bf16_adam=True, batch=36,
+                              node_cap=768, img_cap=192, label_cap=384,
+                              scan_layers=True),
+    "scan_batch36_names": dict(remat=True, remat_policy="names",
+                               use_pallas=True, bf16_adam=True, batch=36,
+                               node_cap=768, img_cap=192, label_cap=384,
+                               scan_layers=True),
     "big_nodes256": dict(remat=True, use_pallas=False, max_nodes=256,
                          node_cap=512, label_cap=256, batch=8,
                          min_window_sec=8.0),

@@ -183,10 +183,22 @@ def import_towers(
 ) -> Dict[str, Any]:
     """Overwrite tower/fusion/head weights in a (host, nested-dict) param
     tree with HF weights, applying the reference's layer split
-    (multigraphormer_graph_encoder.py:249-260)."""
+    (multigraphormer_graph_encoder.py:249-260).
+
+    Layout-agnostic: a ``scan_layers`` (stacked) tree is unrolled for the
+    name mapping and restacked on return (utils/scan_params.py)."""
     import flax
 
+    from multimodaldiscussiontransformer_tpu.utils.scan_params import (
+        params_layout,
+        to_scanned,
+        to_unrolled,
+    )
+
     params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+    was_scanned = params_layout(params) == "scanned"
+    if was_scanned:
+        params = to_unrolled(params, cfg)
     p = params["params"]
     ge = p["graph_encoder"]
 
@@ -244,6 +256,8 @@ def import_towers(
         and f"{vit_prefix}.pooler.dense.weight" in vit_sd
     ):
         p["vit_pooler"] = {"dense": _linear(vit_sd, f"{vit_prefix}.pooler.dense")}
+    if was_scanned:
+        params = to_scanned(params, cfg)
     return params
 
 

@@ -94,14 +94,30 @@ def import_reference_checkpoint(
     prefix: str = "encoder.",
 ) -> Dict[str, Any]:
     """Overwrite ``params`` (host nested dict, as returned by model.init +
-    device_get) with the reference checkpoint's weights."""
+    device_get) with the reference checkpoint's weights.
+
+    Layout-agnostic: a ``scan_layers`` (stacked) tree is unrolled for the
+    name mapping and restacked on return (utils/scan_params.py)."""
     import jax
+
+    from multimodaldiscussiontransformer_tpu.utils.scan_params import (
+        params_layout,
+        to_scanned,
+        to_unrolled,
+    )
 
     sd = checkpoint.get("model", checkpoint) if isinstance(checkpoint, dict) else checkpoint
     sd = upgrade_legacy_qkv(dict(sd))
     # convert once; everything below reads numpy
     sd = {k: _np(v) for k, v in sd.items()}
     ge_ref = f"{prefix}graph_encoder"
+
+    was_scanned = params_layout(params) == "scanned"
+    if was_scanned:
+        params = to_unrolled(params, cfg)
+        _restack = lambda t: to_scanned(t, cfg)  # noqa: E731
+    else:
+        _restack = lambda t: t  # noqa: E731
 
     # rebuild container spine so the input tree is untouched
     params = jax.tree_util.tree_map_with_path(lambda _, x: x, params)
@@ -169,7 +185,7 @@ def import_reference_checkpoint(
     p["node_classifier"] = _linear(sd, f"{ge_ref}.node_classifier")
     if cfg.use_image_tower and f"{ge_ref}.vit_pooler.dense.weight" in sd:
         p["vit_pooler"] = {"dense": _linear(sd, f"{ge_ref}.vit_pooler.dense")}
-    return params
+    return _restack(params)
 
 
 def export_reference_state_dict(
@@ -177,7 +193,13 @@ def export_reference_state_dict(
 ) -> Dict[str, np.ndarray]:
     """Inverse mapping: our param tree -> reference-named state dict
     (numpy). Enables round-trip tests and porting trained weights back to
-    the PyTorch reference."""
+    the PyTorch reference. Layout-agnostic: scanned trees are unrolled
+    first (utils/scan_params.py)."""
+    from multimodaldiscussiontransformer_tpu.utils.scan_params import (
+        to_unrolled,
+    )
+
+    params = to_unrolled(params, cfg)
     sd: Dict[str, np.ndarray] = {}
     p = params["params"]
     ge = p["graph_encoder"]

@@ -25,9 +25,51 @@ from multimodaldiscussiontransformer_tpu.data.dataset import DiscussionDataset
 from multimodaldiscussiontransformer_tpu.data.preprocess import GraphItem
 
 
-def load_graph_npz(path: str) -> GraphItem:
-    """Load one processed graph saved by ingest.save_graph_npz."""
+# Shared per-tree arrays (round-5 dedup ingest layout): each labelled-node
+# copy is a tiny stub referencing its tree's shared-<n>.npz. Consecutive
+# copies of the same tree hit this small LRU instead of re-decompressing
+# the (image-bearing) shared file.
+_SHARED_CACHE: "dict[str, dict]" = {}
+_SHARED_CACHE_MAX = 8
+
+
+def _load_shared(path: str) -> dict:
+    hit = _SHARED_CACHE.pop(path, None)
+    if hit is not None:
+        _SHARED_CACHE[path] = hit  # re-insert: LRU order
+        return hit
     with np.load(path, allow_pickle=False) as z:
+        shared = {k: z[k] for k in z.files}
+    _SHARED_CACHE[path] = shared
+    while len(_SHARED_CACHE) > _SHARED_CACHE_MAX:
+        _SHARED_CACHE.pop(next(iter(_SHARED_CACHE)))
+    return shared
+
+
+def load_graph_npz(path: str) -> GraphItem:
+    """Load one processed graph saved by ingest — either the
+    self-contained layout (save_graph_npz) or the round-5 dedup layout
+    (save_copy_npz stub + shared-<tree>.npz, resolved relative to the
+    stub's directory)."""
+    with np.load(path, allow_pickle=False) as z:
+        if "shared_ref" in z:
+            shared = _load_shared(
+                os.path.join(os.path.dirname(path), str(z["shared_ref"]))
+            )
+            return GraphItem(
+                idx=int(z["idx"]),
+                input_ids=shared["input_ids"],
+                token_type_ids=shared["token_type_ids"],
+                attention_mask=shared["attention_mask"],
+                spatial_pos=shared["spatial_pos"],
+                distance=shared["distance"],
+                in_degree=shared["in_degree"],
+                x_images=shared["x_images"],
+                x_image_index=shared["x_image_index"],
+                y=z["y"],
+                y_mask=z["y_mask"] if "y_mask" in z else None,
+                hard_y=z["hard_y"] if "hard_y" in z else None,
+            )
         return GraphItem(
             idx=int(z["idx"]),
             input_ids=z["input_ids"],

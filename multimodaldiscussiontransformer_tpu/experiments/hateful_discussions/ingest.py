@@ -245,6 +245,12 @@ class IngestStats:
     images_attempted: int = 0
     images_loaded: int = 0
     images_dropped: int = 0
+    # per-phase wall seconds (VERDICT r4 #7: profile before optimizing) —
+    # summed across workers, so on a pool they exceed wall-clock
+    t_tokenize: float = 0.0
+    t_images: float = 0.0
+    t_featurize: float = 0.0  # distances + degree/spatial featurization
+    t_write: float = 0.0  # npz serialization (consumer side)
     # up to MAX_EXAMPLES "path: error" strings for the summary
     drop_examples: List[str] = dataclasses.field(default_factory=list)
 
@@ -263,9 +269,21 @@ class IngestStats:
         self.images_attempted += other.images_attempted
         self.images_loaded += other.images_loaded
         self.images_dropped += other.images_dropped
+        self.t_tokenize += other.t_tokenize
+        self.t_images += other.t_images
+        self.t_featurize += other.t_featurize
+        self.t_write += other.t_write
         for ex in other.drop_examples:
             if len(self.drop_examples) < self.MAX_EXAMPLES:
                 self.drop_examples.append(ex)
+
+    def phase_seconds(self) -> Dict[str, float]:
+        return {
+            "tokenize": round(self.t_tokenize, 2),
+            "images": round(self.t_images, 2),
+            "featurize": round(self.t_featurize, 2),
+            "write": round(self.t_write, 2),
+        }
 
     def summary(self) -> str:
         lines = [
@@ -273,6 +291,8 @@ class IngestStats:
             f"labelled={self.labelled_nodes} graph_copies={self.graph_copies}",
             f"images: attempted={self.images_attempted} "
             f"loaded={self.images_loaded} dropped={self.images_dropped}",
+            "phase seconds (summed over workers): "
+            + " ".join(f"{k}={v}" for k, v in self.phase_seconds().items()),
         ]
         if self.images_dropped:
             lines.append(
@@ -343,10 +363,22 @@ def tree_to_items(
     stats: Optional[IngestStats] = None,
 ) -> List[GraphItem]:
     """One raw discussion -> one GraphItem per labelled node
-    (the per-label graph duplication of hateful_discussions.py:196-232)."""
+    (the per-label graph duplication of hateful_discussions.py:196-232).
+
+    The copies differ ONLY in (idx, y, y_mask): tokens, distances,
+    featurization and images are computed ONCE per tree and shared by
+    reference across the copies (round-5 ingest speedup; the reference
+    recomputes nothing either — its duplication is storage-side,
+    hateful_discussions.py:196-232 — but pre-round-5 this code called
+    preprocess_item per copy)."""
+    import time as _time
+
     order, records, parents = collapse_tree(raw)
     n = len(order)
+    _t = _time.perf_counter()
     pairs = tree_distance_pairs(parents)
+    if stats is not None:
+        stats.t_featurize += _time.perf_counter() - _t
     edges = [(int(p), i) for i, p in enumerate(parents) if p >= 0]
     edge_index = (
         np.asarray(edges + [(b, a) for a, b in edges], np.int64).T
@@ -354,9 +386,13 @@ def tree_to_items(
         else np.zeros((2, 0), np.int64)
     )
 
+    _t = _time.perf_counter()
     texts = [extract_text(records[nid]["data"]) for nid in order]
     tokens = tokenizer(texts, max_length=max_length)
+    if stats is not None:
+        stats.t_tokenize += _time.perf_counter() - _t
 
+    _t = _time.perf_counter()
     has_image = np.zeros(n, bool)
     imgs = []
     for i, nid in enumerate(order):
@@ -381,6 +417,8 @@ def tree_to_items(
         if imgs
         else np.zeros((0, 3, image_size, image_size), np.float32)
     )
+    if stats is not None:
+        stats.t_images += _time.perf_counter() - _t
 
     labels = [records[nid]["label"] for nid in order]
     labelled = [
@@ -388,22 +426,32 @@ def tree_to_items(
     ]
 
     items = []
-    for j, node_i in enumerate(labelled):
-        y_mask = np.zeros(n, bool)
-        y_mask[node_i] = True
-        y = np.asarray([1 if labels[node_i] in HATE_LABELS else 0], np.int64)
-        items.append(
-            preprocess_item(
-                idx=start_idx + j,
-                tokens=tokens,
-                edge_index=edge_index,
-                distance_pairs=pairs,
-                x_images=x_images,
-                x_image_index=has_image,
-                y=y,
-                y_mask=y_mask,
-            )
+    if labelled:
+        # shared featurization ONCE; per-copy fields swapped in by replace
+        _t = _time.perf_counter()
+        base = preprocess_item(
+            idx=start_idx,
+            tokens=tokens,
+            edge_index=edge_index,
+            distance_pairs=pairs,
+            x_images=x_images,
+            x_image_index=has_image,
+            y=np.zeros(1, np.int64),
+            y_mask=np.zeros(n, bool),
         )
+        if stats is not None:
+            stats.t_featurize += _time.perf_counter() - _t
+        for j, node_i in enumerate(labelled):
+            y_mask = np.zeros(n, bool)
+            y_mask[node_i] = True
+            y = np.asarray(
+                [1 if labels[node_i] in HATE_LABELS else 0], np.int64
+            )
+            items.append(
+                dataclasses.replace(
+                    base, idx=start_idx + j, y=y, y_mask=y_mask
+                )
+            )
     if stats is not None:
         stats.trees += 1
         stats.nodes += n
@@ -412,12 +460,49 @@ def tree_to_items(
     return items
 
 
-def save_graph_npz(path: str, item: GraphItem) -> None:
+def _text_len(item: GraphItem) -> int:
     am = item.attention_mask
-    text_len = (
+    return (
         int(np.max(np.where(am.any(axis=0))[0], initial=0)) + 1
         if am.any() else 1
     )
+
+
+SHARED_FIELDS = (
+    "input_ids", "token_type_ids", "attention_mask", "spatial_pos",
+    "distance", "in_degree", "x_images", "x_image_index",
+)
+
+
+def save_shared_npz(path: str, item: GraphItem) -> None:
+    """The per-TREE arrays every graph copy shares (round-5 dedup layout):
+    written once per source tree instead of once per labelled-node copy —
+    at ~6 copies/tree (SCALE_r04) this cuts npz compression+write volume
+    ~6x, and it is the ingest pipeline's dominant phase (IngestStats
+    phase_seconds)."""
+    np.savez_compressed(
+        path, **{f: getattr(item, f) for f in SHARED_FIELDS}
+    )
+
+
+def save_copy_npz(path: str, item: GraphItem, shared_ref: str) -> None:
+    """A per-copy stub: label fields + a relative reference to the shared
+    tree file (loaded back by dataset.load_graph_npz, LRU-cached)."""
+    arrays = dict(
+        idx=np.asarray(item.idx),
+        text_len=np.asarray(_text_len(item), np.int32),
+        shared_ref=np.asarray(shared_ref),
+        y=item.y,
+    )
+    if item.y_mask is not None:
+        arrays["y_mask"] = item.y_mask
+    if item.hard_y is not None:
+        arrays["hard_y"] = item.hard_y
+    np.savez_compressed(path, **arrays)
+
+
+def save_graph_npz(path: str, item: GraphItem) -> None:
+    text_len = _text_len(item)
     arrays = dict(
         idx=np.asarray(item.idx),
         # cheap length probe: length-grouped batching at corpus scale must
@@ -481,6 +566,7 @@ def process(
     image_size: int = VIT_SIZE,
     workers: int = 0,
     allow_hash_fallback: bool = False,
+    dedup: bool = True,
 ) -> int:
     """Full ingestion over ``pruned-with-images.json``; returns the number of
     processed graph copies. Layout mirrors the reference
@@ -531,6 +617,8 @@ def process(
     ) as map_out:
 
         def consume(results):
+            import time as _time
+
             nonlocal k
             for graph_num, (items, tree_stats) in results:
                 run_stats.merge(tree_stats)
@@ -539,17 +627,30 @@ def process(
                 # the contrastive corpus: one graph per TREE) can reuse the
                 # ingested npz files without re-tokenizing the raw JSON
                 map_out.write(f"{graph_num} {k} {len(items)}\n")
+                _t = _time.perf_counter()
+                shared_name = None
+                if dedup and items:
+                    # shared per-tree arrays once; copies are tiny stubs
+                    shared_name = f"shared-{graph_num}.npz"
+                    save_shared_npz(
+                        os.path.join(out_root, "processed", shared_name),
+                        items[0],
+                    )
                 for item in items:
                     item = dataclasses.replace(item, idx=k)
-                    save_graph_npz(
-                        os.path.join(out_root, "processed", f"graph-{k}.npz"),
-                        item,
+                    path = os.path.join(
+                        out_root, "processed", f"graph-{k}.npz"
                     )
+                    if shared_name is not None:
+                        save_copy_npz(path, item, shared_name)
+                    else:
+                        save_graph_npz(path, item)
                     if test_nums is not None and graph_num in test_nums:
                         test_out.write(f"{k}\n")
                     else:
                         train_out.write(f"{k}\n")
                     k += 1
+                run_stats.t_write += _time.perf_counter() - _t
                 if log_every and graph_num % log_every == 0:
                     print(f"graph {graph_num}: {k} copies written")
 
@@ -633,6 +734,11 @@ def main(argv=None) -> int:
         help="permit the vocab-INCOMPATIBLE HashTokenizer when no real "
         "tokenizer resolves (otherwise ingestion fails loudly)",
     )
+    p.add_argument(
+        "--no-dedup", action="store_true",
+        help="write self-contained graph-<k>.npz files (pre-round-5 "
+        "layout) instead of shared-<tree>.npz + per-copy stubs",
+    )
     args = p.parse_args(argv)
     process(
         args.json_path, args.out_root,
@@ -641,6 +747,7 @@ def main(argv=None) -> int:
         max_length=args.max_length, limit=args.limit,
         vocab_size=args.vocab_size, workers=args.workers,
         allow_hash_fallback=args.allow_hash_fallback,
+        dedup=not args.no_dedup,
     )
     return 0
 

@@ -141,7 +141,9 @@ def test_process_end_to_end(tmp_path):
     )
     assert k == 12  # 4 trees x 3 labels
     files = os.listdir(out / "processed")
-    assert len(files) == 12
+    # dedup layout: 12 per-copy stubs + 4 shared per-tree files
+    assert sum(f.startswith("graph-") for f in files) == 12
+    assert sum(f.startswith("shared-") for f in files) == 4
 
     # registered factory round-trip
     from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
@@ -237,3 +239,58 @@ def test_parallel_ingest_matches_serial(tmp_path):
         assert sorted(a.files) == sorted(b.files)
         for key in a.files:
             np.testing.assert_array_equal(a[key], b[key], err_msg=f"{k}:{key}")
+
+
+def test_dedup_layout_loads_identically(tmp_path, capsys):
+    """Round-5 dedup layout (shared-<tree>.npz + per-copy stubs) must load
+    item-for-item identical to the self-contained layout, halve-or-better
+    the processed bytes at >1 copy/tree, and report phase timings."""
+    from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.dataset import (
+        NpzItemLoader,
+        load_graph_npz,
+    )
+
+    raw = tmp_path / "raw.json"
+    with open(raw, "w") as f:
+        for i in range(6):
+            t = make_raw_tree()
+            t["id"] = f"t3_root{i}"
+            t["data"]["id"] = t["id"]
+            f.write(json.dumps(t) + "\n")
+
+    plain_root = str(tmp_path / "plain")
+    dedup_root = str(tmp_path / "dedup")
+    k1 = ingest.process(str(raw), plain_root, tokenizer_name="__offline__",
+                        vocab_size=512, log_every=0, dedup=False)
+    k2 = ingest.process(str(raw), dedup_root, tokenizer_name="__offline__",
+                        vocab_size=512, log_every=0, dedup=True)
+    assert k1 == k2 > 0
+    out = capsys.readouterr().out
+    assert "phase seconds" in out
+
+    def tree_bytes(root):
+        d = os.path.join(root, "processed")
+        return sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        )
+
+    # 3 labelled copies/tree -> shared arrays stored once, not 3x (tiny
+    # imageless fixture: zip headers dominate the stubs, so the ratio is
+    # modest here; image-bearing corpora shrink ~copies-per-tree-fold)
+    assert tree_bytes(dedup_root) < 0.75 * tree_bytes(plain_root)
+
+    for k in range(k1):
+        a = load_graph_npz(os.path.join(plain_root, "processed", f"graph-{k}.npz"))
+        b = load_graph_npz(os.path.join(dedup_root, "processed", f"graph-{k}.npz"))
+        assert a.idx == b.idx
+        for field in ("input_ids", "token_type_ids", "attention_mask",
+                      "spatial_pos", "distance", "in_degree", "x_images",
+                      "x_image_index", "y", "y_mask"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+                err_msg=f"{k}:{field}",
+            )
+        # the cheap length probe works on stubs without touching shared data
+        la = NpzItemLoader(os.path.join(plain_root, "processed", f"graph-{k}.npz"))
+        lb = NpzItemLoader(os.path.join(dedup_root, "processed", f"graph-{k}.npz"))
+        assert la.text_length() == lb.text_length()

@@ -567,6 +567,7 @@ def process(
     workers: int = 0,
     allow_hash_fallback: bool = False,
     dedup: bool = True,
+    stats_sink: Optional[IngestStats] = None,
 ) -> int:
     """Full ingestion over ``pruned-with-images.json``; returns the number of
     processed graph copies. Layout mirrors the reference
@@ -712,6 +713,8 @@ def process(
             )
     print(f"FINAL K {k}")
     print(run_stats.summary())
+    if stats_sink is not None:
+        stats_sink.merge(run_stats)
     return k
 
 

@@ -73,6 +73,8 @@ def rows_as_sorted_table(cols):
 
 WORKER = COMMON + r"""
 pid, port, out_json = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+dp = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+tp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
 from multimodaldiscussiontransformer_tpu.parallel import distributed
 
@@ -85,7 +87,7 @@ from multimodaldiscussiontransformer_tpu.parallel.mesh import make_mesh
 from multimodaldiscussiontransformer_tpu.train.trainer import Trainer
 
 cfg, ds, IMG = build({"fsdp": True})
-mesh = make_mesh(4, 1)
+mesh = make_mesh(dp, tp)
 trainer = Trainer(cfg, mesh=mesh, image_shape=IMG)
 assert trainer.host_count == 2
 
@@ -136,7 +138,21 @@ def _env(devices: int) -> dict:
     return env
 
 
-def test_two_process_predict_matches_single_process(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "dp,tp",
+    [
+        (4, 1),  # pure data parallel (the original coverage)
+        # tp>1: the logits replicate over tp, so each host sees its row
+        # range once PER tp device — predict must dedupe addressable
+        # shards by row range or export silently duplicated/misaligned
+        # rows (ADVICE r4 medium; train/trainer.py::predict)
+        (2, 2),
+    ],
+)
+def test_two_process_predict_matches_single_process(tmp_path, dp, tp):
     two_json = tmp_path / "two.json"
     oracle_json = tmp_path / "oracle.json"
 
@@ -146,7 +162,7 @@ def test_two_process_predict_matches_single_process(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker_py), str(pid), str(port),
-             str(two_json)],
+             str(two_json), str(dp), str(tp)],
             env=_env(2), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )

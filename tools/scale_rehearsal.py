@@ -179,6 +179,11 @@ def main(argv=None) -> int:
     # 3. ingest (the reference's one-time process(), parallel) --------------
     data_root = os.path.join(out, "data")
     with Phase(report, "ingest") as rec:
+        from multimodaldiscussiontransformer_tpu.experiments.hateful_discussions.ingest import (
+            IngestStats,
+        )
+
+        sink = IngestStats()
         t0 = time.perf_counter()
         n_copies = process(
             paths["raw"], data_root,
@@ -187,11 +192,16 @@ def main(argv=None) -> int:
             tokenizer_name="bert-base-uncased",  # resolves via MDT_BERT_VOCAB
             image_root=out, max_length=args.max_length,
             image_size=args.image_px, log_every=2000, workers=args.workers,
+            stats_sink=sink,
         )
         dt = time.perf_counter() - t0
         rec["graph_copies"] = n_copies
         rec["trees_per_sec"] = round(args.trees / dt, 2)
         rec["copies_per_sec"] = round(n_copies / dt, 2)
+        # per-phase breakdown (round-5 instrumentation; worker-summed, so
+        # can exceed wall on a pool) + the r4 baseline for the speedup claim
+        rec["phase_seconds"] = sink.phase_seconds()
+        rec["r4_baseline_trees_per_sec"] = 3.32  # SCALE_r04.json, same box
         rec.update(_dir_stats(os.path.join(data_root, "processed")))
 
     # 4. lazy dataset + length-grouping scan --------------------------------
@@ -285,6 +295,40 @@ def main(argv=None) -> int:
             rec["host_sec_per_batch"] < rec["device_sec_per_step"]
         )
         del state_probe, step, jb
+
+    # 5b. loader workers -> throughput curve, stated against the REAL
+    # on-chip step rate (VERDICT r4 weak #3: the honest comparison is host
+    # collation vs the 65 disc/s chip step, not vs the CPU device step)
+    with Phase(report, "loader_workers_curve") as rec:
+        import dataclasses as _dc
+
+        ONCHIP = 65.1  # BENCH_r04 canonical train disc/s on the v5e chip
+        rec["onchip_disc_per_sec_ref"] = ONCHIP
+        curve = {}
+        for w in (0, 1, 2, 4):
+            cfgw = cfg2.replace(data=_dc.replace(data_cfg, num_workers=w))
+            tw = TASKS.get("node_prediction")(cfgw).build_trainer(
+                image_shape=img_shape
+            )
+            itw = iter(tw.train_batches(ds, epoch=1))
+            next(itw)  # worker startup out of the steady-state window
+            t0 = time.perf_counter()
+            n = 0
+            for _ in itw:
+                n += 1
+                if n >= args.probe_batches:
+                    break
+            curve[str(w)] = round(
+                n * args.batch_size / (time.perf_counter() - t0), 2
+            )
+        rec["host_disc_per_sec_by_workers"] = curve
+        rec["keeps_up_vs_onchip"] = {
+            k: bool(v > ONCHIP) for k, v in curve.items()
+        }
+        rec["note"] = (
+            "nproc=1 box: >1 worker contends with the consumer process; "
+            "the curve's slope is what a multi-core host buys"
+        )
 
     # 6. stage 1: contrastive over the LAZY per-tree corpus -----------------
     contr_ds = two_stage.contrastive_dataset_from_ingest(

@@ -306,6 +306,38 @@ VARIANTS = {
     "scan_big96_noremat": dict(remat=False, use_pallas=True, max_nodes=96,
                                node_cap=384, label_cap=192,
                                scan_layers=True),
+    # noremat-via-accumulation: split the big-tree batch into scan-
+    # accumulated microbatches so each microbatch's activations die after
+    # its backward — noremat (the fastest per-FLOP regime, canonical +2-3
+    # pts over selective remat) inside 16G HBM without any recompute tax.
+    # Same effective batch per optimizer update (12 = 6x2 = 4x3), identical
+    # FairSeq accumulation semantics (run_train.sh:65 runs uf=3 anyway).
+    "big128_b6_uf2_noremat": dict(remat=False, use_pallas=True,
+                                  max_nodes=128, batch=6, update_freq=2,
+                                  node_cap=256, img_cap=32, label_cap=128),
+    "big128_b4_uf3_noremat": dict(remat=False, use_pallas=True,
+                                  max_nodes=128, batch=4, update_freq=3,
+                                  node_cap=192, img_cap=32, label_cap=96),
+    "scan_big128_b6_uf2_noremat": dict(remat=False, use_pallas=True,
+                                       max_nodes=128, batch=6,
+                                       update_freq=2, node_cap=256,
+                                       img_cap=32, label_cap=128,
+                                       scan_layers=True),
+    "big96_b6_uf2_noremat": dict(remat=False, use_pallas=True,
+                                 max_nodes=96, batch=6, update_freq=2,
+                                 node_cap=192, img_cap=32, label_cap=96),
+    # flash-regime analogue is impossible (batch already 1) — remat ladder
+    # only there (bench.py flash bucket)
+    # diagnostic: a FRESH canonical-scale noremat program (novel node_cap
+    # so no cache hit). r5 sweep pattern: scan+remat compiles fresh at
+    # 96/128 while every noremat/batch36 fresh compile 500s — if this
+    # small fresh noremat program 500s too, the tunnel's fresh-compile
+    # path is degraded for a program CLASS (not payload size); if it
+    # compiles, size x structure both matter.
+    "fresh_canon_noremat_cap288": dict(remat=False, use_pallas=True,
+                                       node_cap=288),
+    "fresh_canon_names_cap288": dict(remat=True, remat_policy="names",
+                                     use_pallas=True, node_cap=288),
     # unscanned "names" rung completes the remat ladder at 128
     "big_nodes128_names": dict(remat=True, use_pallas=True, max_nodes=128,
                                node_cap=512, label_cap=256,

@@ -401,15 +401,14 @@ def main() -> None:
             bigtree_scan_layers=scan,
         )
 
-    # ladder (round 5): layer-scan shrinks the compiled program ~4x, which
-    # unblocks the selective-remat policies the tunnel's fresh-compile 500
-    # rejected unscanned (BIGTREE_SWEEP_r04) — try the cheapest-backward
-    # policy first under scan, fall back down to the r4 known-good
-    # unscanned full-remat program
+    # ladder (round 5, ordered by the measured sweep — BIGTREE_SWEEP_r05):
+    # scan+full compiles fresh and wins (41.35% MFU at Nmax=128 vs 39.38%
+    # unscanned full in r4); names ties; dots_saveable/noremat 500 on this
+    # tunnel even under scan, so they are not attempted here. Last rung is
+    # the r4 known-good unscanned full-remat program.
     for big_policy, big_scan in (
-        ("dots_saveable", True),
-        ("names", True),
         ("full", True),
+        ("names", True),
         ("full", False),
     ):
         try:
@@ -494,9 +493,8 @@ def main() -> None:
         )
 
     for flash_policy, flash_scan in (
-        ("dots_saveable", True),
-        ("names", True),
         ("full", True),
+        ("names", True),
         ("full", False),
     ):
         try:

@@ -492,9 +492,13 @@ def main() -> None:
             flash_scan_layers=scan,
         )
 
+    # names first: the flash bucket is tower-FLOP-dominated (99:1), so the
+    # lighter "names" save-set beats full remat there — measured 40.3% vs
+    # 38.4% MFU (sweep flash_names_scan vs BENCH r5 scan+full); noremat
+    # 500s (size)
     for flash_policy, flash_scan in (
-        ("full", True),
         ("names", True),
+        ("full", True),
         ("full", False),
     ):
         try:

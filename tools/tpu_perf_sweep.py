@@ -336,6 +336,18 @@ VARIANTS = {
     # compiles, size x structure both matter.
     "fresh_canon_noremat_cap288": dict(remat=False, use_pallas=True,
                                        node_cap=288),
+    # flash-regime remat ladder (S=769 giant tree, batch 1): bench picks
+    # scan+full (38.4% MFU, BENCH r5); is the lighter "names" save-set or
+    # even noremat (activations ~3x canonical; may fit 16G at batch 1)
+    # better here?
+    "flash_names_scan": dict(remat=True, remat_policy="names",
+                             use_pallas=True, batch=1, max_nodes=768,
+                             node_cap=768, img_cap=16, label_cap=256,
+                             scan_layers=True, min_window_sec=8.0),
+    "flash_noremat_scan": dict(remat=False, use_pallas=True, batch=1,
+                               max_nodes=768, node_cap=768, img_cap=16,
+                               label_cap=256, scan_layers=True,
+                               min_window_sec=8.0),
     "fresh_canon_names_cap288": dict(remat=True, remat_policy="names",
                                      use_pallas=True, node_cap=288),
     # unscanned "names" rung completes the remat ladder at 128

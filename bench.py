@@ -492,10 +492,11 @@ def main() -> None:
             flash_scan_layers=scan,
         )
 
-    # names first: the flash bucket is tower-FLOP-dominated (99:1), so the
-    # lighter "names" save-set beats full remat there — measured 40.3% vs
-    # 38.4% MFU (sweep flash_names_scan vs BENCH r5 scan+full); noremat
-    # 500s (size)
+    # flash ladder: scan+names and scan+full tie at this bucket's shapes
+    # (38.3 vs 38.4% MFU, r5 reruns — the bucket is tower-FLOP-dominated
+    # and lightly imaged); the denser-image sweep variant of the same
+    # regime measures names at 40.3% (flash_names_scan). noremat 500s
+    # (program size).
     for flash_policy, flash_scan in (
         ("names", True),
         ("full", True),

@@ -218,6 +218,13 @@ class DiscussionScorer:
             restored["params"] if isinstance(restored, dict) and "params" in restored
             else getattr(restored, "params", restored)
         )
+        # layout-adapt: serve a scan_layers checkpoint with an unrolled
+        # serving config and vice versa (utils/scan_params.py)
+        from multimodaldiscussiontransformer_tpu.utils.scan_params import (
+            adapt_params,
+        )
+
+        params = adapt_params(params, cfg)
         return cls(model, params, **kw)
 
     def score_items(self, items: Sequence[GraphItem]) -> List[np.ndarray]:

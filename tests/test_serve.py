@@ -210,3 +210,50 @@ def test_batch_bucket_padding_is_inert():
         )
         shapes.append({k: v.shape for k, v in b.asdict().items()})
     assert shapes[0] == shapes[1]
+
+
+def test_from_checkpoint_cross_layout(tmp_path):
+    """A checkpoint written by a scan_layers trainer serves under an
+    unrolled serving config (and vice versa): from_checkpoint adapts the
+    param layout (utils/scan_params.py) and scores identically."""
+    import jax.numpy as jnp
+
+    from multimodaldiscussiontransformer_tpu.core.config import DataConfig
+    from multimodaldiscussiontransformer_tpu.utils.checkpoints import (
+        Checkpointer,
+    )
+    from multimodaldiscussiontransformer_tpu.utils.scan_params import (
+        to_scanned,
+    )
+
+    cfg = tiny_model_config()
+    cfg_s = cfg.replace(scan_layers=True)
+    model = MDTModel(cfg)
+    d = Discussion()
+    d.add_node(-1, np.arange(1, 13, dtype=np.int32))
+    batch = collate_one = None
+    from multimodaldiscussiontransformer_tpu.data.collator import collate
+
+    batch = collate([d.to_item()], spatial_pos_max=5, image_shape=IMG)
+    jb = {k: jnp.asarray(v) for k, v in batch.asdict().items()}
+    params = model.init(jax.random.PRNGKey(3), jb, deterministic=True)
+    scanned = to_scanned(jax.device_get(params), cfg_s)
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save({"params": scanned, "step": 5}, 5, best=True)
+    ckpt.wait()
+    ckpt.close()
+
+    dc = DataConfig(batch_size=1, node_buckets=(8,), node_capacity_buckets=(8,),
+                    image_capacity_buckets=(0,), label_capacity_buckets=(8,))
+    # scanned checkpoint -> unrolled serving config
+    probs_u = DiscussionScorer.from_checkpoint(
+        str(tmp_path / "ckpt"), model_cfg=cfg, data_cfg=dc, image_shape=IMG
+    ).score(d)
+    # scanned checkpoint -> scanned serving config (no-op adapt)
+    probs_s = DiscussionScorer.from_checkpoint(
+        str(tmp_path / "ckpt"), model_cfg=cfg_s, data_cfg=dc, image_shape=IMG
+    ).score(d)
+    oracle = DiscussionScorer(model, params, dc, image_shape=IMG).score(d)
+    np.testing.assert_allclose(probs_u, oracle, rtol=1e-5)
+    np.testing.assert_allclose(probs_s, oracle, rtol=1e-5)

@@ -231,7 +231,6 @@ def test_from_checkpoint_cross_layout(tmp_path):
     model = MDTModel(cfg)
     d = Discussion()
     d.add_node(-1, np.arange(1, 13, dtype=np.int32))
-    batch = collate_one = None
     from multimodaldiscussiontransformer_tpu.data.collator import collate
 
     batch = collate([d.to_item()], spatial_pos_max=5, image_shape=IMG)

@@ -204,7 +204,10 @@ class ModelConfig:
     # layer's attention and FFN outputs, models/{graphormer,bert,vit}.py)
     # — a finer rung between "full" and "dots_saveable": O(layers * S * D)
     # residuals instead of dots_saveable's O(layers * S * ffn_dim) saved
-    # matmul outputs, for shapes where dots_saveable overflows HBM.
+    # matmul outputs, for shapes where dots_saveable overflows HBM;
+    # "names_heavy" = names + attention projections + FFN intermediates
+    # (near dots_saveable's save set, but the names-tagged programs
+    # fresh-compile at big shapes where dots_saveable is tunnel-blocked).
     remat_policy: str = "full"
     # Layer-scan: run the structurally identical interleave pairs
     # (graph_stack_i + fusion_stack_{i+1}, models/mdt.py) as ONE nn.scan

@@ -185,11 +185,13 @@ class BertLayer(nn.Module):
     ) -> jnp.ndarray:
         attn = self.attention(hidden, attn_bias, deterministic)
         attn = self.attention_output_dense(attn)
+        attn = _checkpoint_name(attn, "attn_proj")  # names_heavy saveable
         attn = self.hidden_dropout(attn, deterministic=deterministic)
         hidden = self.attention_output_layernorm(attn + hidden)
         # remat_policy="names" saveables (identity outside jax.checkpoint)
         hidden = _checkpoint_name(hidden, "attn_out")
         inter = act_fn(self.config.hidden_act)(self.intermediate_dense(hidden))
+        inter = _checkpoint_name(inter, "ffn_mid")  # names_heavy saveable
         out = self.output_dense(inter)
         out = self.hidden_dropout(out, deterministic=deterministic)
         return _checkpoint_name(

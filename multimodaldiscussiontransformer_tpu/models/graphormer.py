@@ -349,6 +349,7 @@ class GraphormerGraphEncoderLayer(nn.Module):
         if pre:
             x = self.self_attn_layer_norm(x)
         x = self.self_attn(x, attn_bias, key_padding_mask, deterministic)
+        x = _checkpoint_name(x, "attn_proj")  # remat_policy="names_heavy"
         x = self.dropout(x, deterministic=deterministic)
         x = residual + x
         if not pre:
@@ -361,6 +362,7 @@ class GraphormerGraphEncoderLayer(nn.Module):
         if pre:
             x = self.final_layer_norm(x)
         x = graph_activation_fn(self.config.activation_fn)(self.fc1(x))
+        x = _checkpoint_name(x, "ffn_mid")  # remat_policy="names_heavy"
         x = self.activation_dropout(x, deterministic=deterministic)
         x = self.fc2(x)
         x = self.dropout(x, deterministic=deterministic)

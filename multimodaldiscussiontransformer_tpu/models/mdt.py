@@ -97,6 +97,13 @@ def _remat_policy(name: str):
         "names": jax.checkpoint_policies.save_only_these_names(
             "attn_out", "ffn_out"
         ),
+        # heavier save-set: + attention projection and FFN intermediate —
+        # approaches dots_saveable's resident set through the names
+        # mechanism (which fresh-compiles at big shapes where
+        # dots_saveable 500s on the tunnel, BIGTREE_SWEEP_r05)
+        "names_heavy": jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "ffn_out", "attn_proj", "ffn_mid"
+        ),
     }.get(name)
 
 

@@ -57,12 +57,14 @@ class ViTLayer(nn.Module):
     def __call__(self, hidden: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         attn = self.attention(self.layernorm_before(hidden), None, deterministic)
         attn = self.attention_output_dense(attn)
+        attn = _checkpoint_name(attn, "attn_proj")  # names_heavy saveable
         attn = self.hidden_dropout(attn, deterministic=deterministic)
         # remat_policy="names" saveables (identity outside jax.checkpoint)
         hidden = _checkpoint_name(hidden + attn, "attn_out")
         mlp = act_fn(self.config.hidden_act)(
             self.intermediate_dense(self.layernorm_after(hidden))
         )
+        mlp = _checkpoint_name(mlp, "ffn_mid")  # names_heavy saveable
         mlp = self.output_dense(mlp)
         mlp = self.hidden_dropout(mlp, deterministic=deterministic)
         return _checkpoint_name(hidden + mlp, "ffn_out")

@@ -224,7 +224,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize fusion+graph blocks (enable for "
                         "bigger-than-HBM configs; costs ~21%% throughput)")
     p.add_argument("--remat-policy", default="full",
-                   choices=("full", "dots", "dots_saveable", "names"),
+                   choices=("full", "dots", "dots_saveable", "names", "names_heavy"),
                    help="what remat saves: full=recompute whole blocks; "
                         "dots/dots_saveable=keep matmul outputs, recompute "
                         "only elementwise ops (cheaper backward, more HBM); "

@@ -112,7 +112,7 @@ def test_transform_round_trip_exact():
     assert params_layout(adapt_params(p_u, cfg)) == "unrolled"
 
 
-@pytest.mark.parametrize("policy", ["full", "names", "dots_saveable"])
+@pytest.mark.parametrize("policy", ["full", "names", "names_heavy", "dots_saveable"])
 def test_scan_remat_training_grads(policy):
     """Training mode (dropout on, remat on at each policy rung): loss is
     finite and gradients reach every scanned leaf."""

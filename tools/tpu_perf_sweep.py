@@ -350,6 +350,18 @@ VARIANTS = {
                                min_window_sec=8.0),
     "fresh_canon_names_cap288": dict(remat=True, remat_policy="names",
                                      use_pallas=True, node_cap=288),
+    "scan_big128_namesheavy": dict(remat=True, use_pallas=True,
+                                   max_nodes=128, node_cap=512,
+                                   label_cap=256, scan_layers=True,
+                                   remat_policy="names_heavy"),
+    "scan_big96_namesheavy": dict(remat=True, use_pallas=True, max_nodes=96,
+                                  node_cap=384, label_cap=192,
+                                  scan_layers=True,
+                                  remat_policy="names_heavy"),
+    "flash_namesheavy_scan": dict(remat=True, remat_policy="names_heavy",
+                                  use_pallas=True, batch=1, max_nodes=768,
+                                  node_cap=768, img_cap=16, label_cap=256,
+                                  scan_layers=True, min_window_sec=8.0),
     # unscanned "names" rung completes the remat ladder at 128
     "big_nodes128_names": dict(remat=True, use_pallas=True, max_nodes=128,
                                node_cap=512, label_cap=256,
